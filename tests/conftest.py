@@ -1,0 +1,24 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Tests must be runnable without TPU hardware; sharding code is exercised on
+XLA's host-platform device simulation (SURVEY.md section 4). The same pjit
+code runs unchanged on a real pod slice.
+"""
+import os
+
+# The shell environment pins JAX_PLATFORMS to the TPU tunnel; tests must run
+# on the virtual CPU mesh, so override unconditionally (before jax import).
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
