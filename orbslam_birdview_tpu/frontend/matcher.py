@@ -1,0 +1,173 @@
+"""Descriptor matching as batched tensor ops.
+
+Replaces `/root/reference/src/ORBmatcher.cc` (serial per-keypoint loops with
+grid lookups and a popcount bithack, `DescriptorDistance` `:1647-1665`) with
+two TPU-native distance paths:
+
+- MXU path: descriptors as ±1 int8 vectors; hamming = (256 − a·b)/2 — one
+  int8 matmul on the systolic array. Exact (integer arithmetic).
+- VPU path: XOR + `jax.lax.population_count` on packed uint8 — used for
+  small/irregular batches.
+
+The reference's per-cell grid search (`Frame::GetFeaturesInArea`) becomes a
+dense masked distance matrix: at SLAM scales (≤4k keypoints) the full matrix
+is cheaper on TPU than any sparse structure.
+
+Thresholds mirror ORBmatcher: TH_LOW=50, TH_HIGH=100, ratio test, rotation
+histogram with 30 bins / top-3 maxima (`ORBmatcher.cc:37-39,1601-1645`).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TH_LOW = 50
+TH_HIGH = 100
+HISTO_BINS = 30
+INVALID = jnp.int32(-1)
+BIG_DIST = 1 << 14
+
+
+def hamming_matrix(desc_a_pm1, desc_b_pm1, valid_a=None, valid_b=None):
+    """(Na,256)±1 × (Nb,256)±1 -> (Na,Nb) int32 hamming distances.
+
+    Invalid rows/cols get BIG_DIST.
+    """
+    dot = jax.lax.dot_general(
+        desc_a_pm1,
+        desc_b_pm1,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    dist = (256 - dot) // 2
+    if valid_a is not None:
+        dist = jnp.where(valid_a[:, None], dist, BIG_DIST)
+    if valid_b is not None:
+        dist = jnp.where(valid_b[None, :], dist, BIG_DIST)
+    return dist
+
+
+def hamming_matrix_popcount(desc_a_u8, desc_b_u8):
+    """Packed-bits path: (Na,32)u8 × (Nb,32)u8 -> (Na,Nb) int32."""
+    x = jnp.bitwise_xor(desc_a_u8[:, None, :], desc_b_u8[None, :, :])
+    return jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+
+
+def rotation_consistency_mask(angle_a, angle_b, idx_ab, matched):
+    """Keep only matches whose angle difference falls in the 3 fullest of 30
+    histogram bins (`ORBmatcher::ComputeThreeMaxima`)."""
+    dth = angle_a - angle_b[idx_ab]
+    dth = jnp.mod(dth, 2 * jnp.pi)
+    bins = jnp.floor(dth * (HISTO_BINS / (2 * jnp.pi))).astype(jnp.int32)
+    bins = jnp.clip(bins, 0, HISTO_BINS - 1)
+    hist = jnp.zeros(HISTO_BINS, dtype=jnp.int32).at[bins].add(
+        matched.astype(jnp.int32)
+    )
+    top3 = jax.lax.top_k(hist, 3)[0]
+    # reference drops bins 2/3 if much smaller than max (<0.1*max)
+    maxv = top3[0]
+    keep = (hist == top3[0]) | ((hist == top3[1]) & (top3[1] > 0.1 * maxv)) | (
+        (hist == top3[2]) & (top3[2] > 0.1 * maxv)
+    )
+    keep = keep & (hist > 0)
+    return matched & keep[bins]
+
+
+def match_mutual(
+    dist,
+    max_dist: int = TH_LOW,
+    ratio: float = 1.0,
+):
+    """Mutual-best match with Lowe ratio test.
+
+    Returns (idx (Na,) int32 into b or −1, best_dist (Na,) int32).
+    """
+    best = jnp.min(dist, axis=1)
+    idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    if ratio < 1.0:
+        # second best for ratio test
+        masked = dist.at[jnp.arange(dist.shape[0]), idx].set(BIG_DIST)
+        second = jnp.min(masked, axis=1)
+        ok_ratio = best.astype(jnp.float32) < ratio * second.astype(jnp.float32)
+    else:
+        ok_ratio = jnp.ones_like(best, dtype=bool)
+    # mutual check
+    best_b = jnp.argmin(dist, axis=0).astype(jnp.int32)
+    mutual = best_b[idx] == jnp.arange(dist.shape[0], dtype=jnp.int32)
+    ok = (best <= max_dist) & ok_ratio & mutual
+    return jnp.where(ok, idx, INVALID), best
+
+
+def match_window(
+    xy_a,
+    xy_b,
+    dist,
+    radius,
+    max_dist: int = TH_LOW,
+    ratio: float = 0.9,
+    mutual: bool = True,
+):
+    """Windowed match: only consider pairs within `radius` pixels
+    (SearchForInitialization / BirdviewMatch semantics,
+    `ORBmatcher.cc:405-520,1667-1899`)."""
+    d2 = jnp.sum((xy_a[:, None, :] - xy_b[None, :, :]) ** 2, axis=-1)
+    dist = jnp.where(d2 <= radius * radius, dist, BIG_DIST)
+    return match_mutual(dist, max_dist=max_dist, ratio=ratio if mutual else 1.0)
+
+
+def search_by_projection(
+    proj_uv,
+    pt_valid,
+    pt_desc_pm1,
+    kp_xy,
+    kp_octave,
+    kp_valid,
+    kp_desc_pm1,
+    radius_per_point,
+    pred_octave=None,
+    octave_window: int = 1,
+    max_dist: int = TH_HIGH,
+):
+    """Project-and-match: map points with predicted pixel positions vs frame
+    keypoints (`ORBmatcher::SearchByProjection`, `ORBmatcher.cc:45-129`).
+
+    proj_uv:          (M,2) predicted pixels
+    radius_per_point: (M,) search radius (scale/view dependent)
+    pred_octave:      (M,) predicted pyramid level, gates kp octave window
+    Returns (idx (M,) into keypoints or −1, dist (M,)).
+    """
+    dist = hamming_matrix(pt_desc_pm1, kp_desc_pm1, pt_valid, kp_valid)
+    d2 = jnp.sum((proj_uv[:, None, :] - kp_xy[None, :, :]) ** 2, axis=-1)
+    ok = d2 <= (radius_per_point[:, None] ** 2)
+    if pred_octave is not None:
+        ok = ok & (
+            jnp.abs(kp_octave[None, :] - pred_octave[:, None]) <= octave_window
+        )
+    dist = jnp.where(ok, dist, BIG_DIST)
+    best = jnp.min(dist, axis=1)
+    idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    found = best <= max_dist
+    return jnp.where(found, idx, INVALID), best
+
+
+def resolve_duplicate_targets(idx, score):
+    """Several sources may claim the same target keypoint; keep the best
+    (lowest score) per target, invalidate the rest. Vectorized via
+    segment-min."""
+    n_src = idx.shape[0]
+    valid = idx >= 0
+    tgt = jnp.where(valid, idx, 0)
+    big = jnp.asarray(BIG_DIST, score.dtype)
+    sc = jnp.where(valid, score, big)
+    # min score per target
+    n_tgt = n_src  # upper bound; callers pass idx < n_tgt
+    best_per_tgt = jnp.full((n_tgt + 1,), big, dtype=score.dtype)
+    best_per_tgt = best_per_tgt.at[tgt].min(sc)
+    is_best = valid & (sc == best_per_tgt[tgt])
+    # tie-break: lowest source index wins
+    first_src = jnp.full((n_tgt + 1,), n_src, dtype=jnp.int32)
+    src_ids = jnp.arange(n_src, dtype=jnp.int32)
+    first_src = first_src.at[tgt].min(jnp.where(is_best, src_ids, n_src))
+    keep = is_best & (first_src[tgt] == src_ids)
+    return jnp.where(keep, idx, INVALID)

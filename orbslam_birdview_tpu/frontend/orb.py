@@ -1,0 +1,353 @@
+"""TPU-native ORB extraction: pyramid, FAST, orientation, steered BRIEF.
+
+Re-designs `/root/reference/src/ORBextractor.cc` (oriented-FAST + rBRIEF with
+octree balancing) as fixed-shape, mask-based JAX:
+
+- pyramid + 7x7 Gaussian blur: conv ops (MXU-friendly), reflect-101 borders
+  matching cv::GaussianBlur (`ORBextractor.cc:1084-1090`).
+- FAST-9/16: all 16 circle taps as static shifted views, arc test as 16-bit
+  mask tricks — pure VPU elementwise, no scalar loops
+  (`ORBextractor.cc:765-853` does per-cell serial FAST).
+- octree balancing (`DistributeOctTree`, `ORBextractor.cc:539-763`) becomes
+  per-cell top-k with rank-penalized global top-k: identical intent (spatially
+  uniform best-response keypoints, exact feature budget), TPU-shaped.
+- IC_Angle (`ORBextractor.cc:77-105`) and steered BRIEF
+  (`computeOrbDescriptor`, `:108-148`) as batched gathers over the level
+  image; the 256-pair pattern is the canonical OpenCV table (data, in
+  orb_pattern.npy).
+
+Everything is static-shape; invalid slots are masked, never dropped.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from pathlib import Path
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .keypoints import Keypoints, unpack_bits_to_pm1
+
+# ---------------------------------------------------------------------------
+# Constants
+# ---------------------------------------------------------------------------
+
+HALF_PATCH = 15  # orientation patch radius
+EDGE_MARGIN = 19  # min distance of a keypoint from the level border
+
+# FAST-16 Bresenham circle (x=col, y=row), OpenCV tap order.
+FAST_OFFSETS = np.array(
+    [
+        (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+        (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+    ],
+    dtype=np.int32,
+)
+
+_PATTERN = np.load(Path(__file__).parent / "orb_pattern.npy")  # (256,4) x1,y1,x2,y2
+
+
+def _umax_table() -> np.ndarray:
+    """OpenCV's circular-patch row extents for IC_Angle (ORBextractor.cc:454-469)."""
+    umax = np.zeros(HALF_PATCH + 2, dtype=np.int64)
+    vmax = int(np.floor(HALF_PATCH * np.sqrt(2.0) / 2 + 1))
+    vmin = int(np.ceil(HALF_PATCH * np.sqrt(2.0) / 2))
+    hp2 = HALF_PATCH * HALF_PATCH
+    for v in range(vmax + 1):
+        umax[v] = int(round(np.sqrt(hp2 - v * v)))
+    v0 = 0
+    for v in range(HALF_PATCH, vmin - 1, -1):
+        while umax[v0] == umax[v0 + 1]:
+            v0 += 1
+        umax[v] = v0
+        v0 += 1
+    return umax[: HALF_PATCH + 1]
+
+
+def _ic_angle_offsets():
+    """(P,2) int32 (dv, du) offsets inside the circular orientation patch."""
+    umax = _umax_table()
+    offs = []
+    for dv in range(-HALF_PATCH, HALF_PATCH + 1):
+        u = int(umax[abs(dv)])
+        for du in range(-u, u + 1):
+            offs.append((dv, du))
+    return np.array(offs, dtype=np.int32)
+
+
+_IC_OFFSETS = _ic_angle_offsets()  # (~707, 2)
+
+
+class ORBConfig(NamedTuple):
+    n_features: int = 1000
+    n_levels: int = 8
+    scale_factor: float = 1.2
+    fast_threshold: float = 20.0   # main threshold (iniThFAST)
+    min_threshold: float = 7.0     # fallback threshold (minThFAST)
+    cell: int = 16                 # spatial-uniformity cell size (px)
+    per_cell: int = 4              # candidates kept per cell before global top-k
+
+    def level_scales(self) -> list[float]:
+        return [self.scale_factor ** l for l in range(self.n_levels)]
+
+    def level_budgets(self) -> list[int]:
+        """Geometric per-level feature budget (ORBextractor.cc:435-446)."""
+        f = 1.0 / self.scale_factor
+        n0 = self.n_features * (1 - f) / (1 - f ** self.n_levels)
+        budgets = [int(round(n0 * f ** l)) for l in range(self.n_levels - 1)]
+        budgets.append(max(self.n_features - sum(budgets), 0))
+        return budgets
+
+
+# ---------------------------------------------------------------------------
+# Pyramid + blur
+# ---------------------------------------------------------------------------
+
+def gaussian_blur7(img):
+    """7x7 Gaussian, sigma=2, reflect-101 border — cv::GaussianBlur parity."""
+    k1 = np.array([np.exp(-(i * i) / (2 * 2.0 ** 2)) for i in range(-3, 4)])
+    k1 = (k1 / k1.sum()).astype(np.float32)
+    k = jnp.asarray(k1)
+    pad = jnp.pad(img, ((3, 3), (3, 3)), mode="reflect")
+    # separable: rows then cols via conv
+    x = pad[None, None]  # NCHW
+    kr = k.reshape(1, 1, 1, 7)
+    kc = k.reshape(1, 1, 7, 1)
+    y = jax.lax.conv_general_dilated(x, kr, (1, 1), "VALID")
+    y = jax.lax.conv_general_dilated(y, kc, (1, 1), "VALID")
+    return y[0, 0]
+
+
+def resize_bilinear(img, h: int, w: int):
+    """cv::resize INTER_LINEAR equivalent (half-pixel centers)."""
+    return jax.image.resize(img, (h, w), method="linear", antialias=False)
+
+
+def level_sizes(h: int, w: int, cfg: ORBConfig) -> list[tuple[int, int]]:
+    return [
+        (int(round(h / s)), int(round(w / s))) for s in cfg.level_scales()
+    ]
+
+
+# ---------------------------------------------------------------------------
+# FAST
+# ---------------------------------------------------------------------------
+
+def _circle_views(img):
+    """Return (16, H, W) stack of the 16 circle-tap images."""
+    pad = jnp.pad(img, ((3, 3), (3, 3)), mode="edge")
+    H, W = img.shape
+    views = [
+        jax.lax.dynamic_slice(pad, (3 + int(dy), 3 + int(dx)), (H, W))
+        for dx, dy in FAST_OFFSETS
+    ]
+    return jnp.stack(views, axis=0)
+
+
+_ARC_PATTERNS = np.array(
+    [(((0x1FF << k) | (0x1FF >> (16 - k))) & 0xFFFF) for k in range(16)],
+    dtype=np.int32,
+)
+
+
+def fast_response(img, threshold):
+    """FAST-9/16 corner mask + response.
+
+    Returns (response (H,W) float32, corner (H,W) bool). Response is the
+    bright/dark excess sum (original FAST score), 0 where not a corner.
+    """
+    taps = _circle_views(img)  # (16,H,W)
+    c = img[None]
+    bright = taps > c + threshold
+    dark = taps < c - threshold
+    weights = (1 << np.arange(16)).astype(np.int32)
+    wb = jnp.asarray(weights)[:, None, None]
+    bbits = jnp.sum(bright.astype(jnp.int32) * wb, axis=0)
+    dbits = jnp.sum(dark.astype(jnp.int32) * wb, axis=0)
+    patt = jnp.asarray(_ARC_PATTERNS)
+    is_b = jnp.zeros(img.shape, dtype=bool)
+    is_d = jnp.zeros(img.shape, dtype=bool)
+    for p in range(16):
+        pk = patt[p]
+        is_b = is_b | ((bbits & pk) == pk)
+        is_d = is_d | ((dbits & pk) == pk)
+    corner = is_b | is_d
+    sb = jnp.sum(jnp.where(bright, taps - c - threshold, 0.0), axis=0)
+    sd = jnp.sum(jnp.where(dark, c - taps - threshold, 0.0), axis=0)
+    resp = jnp.where(is_b, sb, 0.0) + jnp.where(is_d, sd, 0.0)
+    return resp, corner
+
+
+def nms3(resp):
+    """3x3 non-max suppression; keeps ties."""
+    m = jax.lax.reduce_window(
+        resp, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where(resp >= m, resp, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Spatially-uniform top-k selection (octree replacement)
+# ---------------------------------------------------------------------------
+
+def select_uniform_topk(resp, k_out: int, cell: int, per_cell: int):
+    """Pick k_out keypoints, spatially balanced.
+
+    Within each cell keep the top `per_cell` responses; globally rank by
+    (rank-in-cell asc, response desc) so every cell's best is preferred over
+    any cell's second-best — the same uniformity contract as the reference's
+    quad-tree (`DistributeOctTree`). Returns (ys, xs, resp_out, valid).
+    """
+    H, W = resp.shape
+    Hp = -(-H // cell) * cell
+    Wp = -(-W // cell) * cell
+    r = jnp.pad(resp, ((0, Hp - H), (0, Wp - W)), constant_values=0.0)
+    ncy, ncx = Hp // cell, Wp // cell
+    cells = r.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(
+        ncy * ncx, cell * cell
+    )
+    vals, idx = jax.lax.top_k(cells, per_cell)  # (ncells, per_cell)
+    valid_cand = vals > 0.0
+    rank_pen = jnp.arange(per_cell, dtype=resp.dtype) * jnp.asarray(1e7, resp.dtype)
+    comp = jnp.where(valid_cand, vals - rank_pen[None, :], -jnp.inf)
+    flat_comp = comp.reshape(-1)
+    top_comp, top_idx = jax.lax.top_k(flat_comp, k_out)
+    cell_id = top_idx // per_cell
+    within_rank = top_idx % per_cell
+    pix = jnp.take(idx.reshape(-1), cell_id * per_cell + within_rank)
+    cy, cx = cell_id // ncx, cell_id % ncx
+    dy, dx = pix // cell, pix % cell
+    ys = cy * cell + dy
+    xs = cx * cell + dx
+    valid = top_comp > -jnp.inf / 2
+    resp_out = jnp.take(cells.reshape(-1), cell_id * (cell * cell) + pix)
+    return ys, xs, jnp.where(valid, resp_out, 0.0), valid
+
+
+# ---------------------------------------------------------------------------
+# Orientation + BRIEF (batched gathers)
+# ---------------------------------------------------------------------------
+
+def ic_angle(img, ys, xs):
+    """Intensity-centroid orientation, radians in [0, 2π)."""
+    H, W = img.shape
+    offs = jnp.asarray(_IC_OFFSETS)  # (P,2) dv,du
+    yy = jnp.clip(ys[:, None] + offs[None, :, 0], 0, H - 1)
+    xx = jnp.clip(xs[:, None] + offs[None, :, 1], 0, W - 1)
+    patch = img[yy, xx]  # (K,P)
+    dv = offs[:, 0].astype(img.dtype)
+    du = offs[:, 1].astype(img.dtype)
+    m01 = jnp.sum(patch * dv[None, :], axis=1)
+    m10 = jnp.sum(patch * du[None, :], axis=1)
+    ang = jnp.arctan2(m01, m10)
+    return jnp.where(ang < 0, ang + 2 * jnp.pi, ang)
+
+
+def brief_descriptors(img_blur, ys, xs, angle):
+    """Steered BRIEF-256 at integer keypoint coords. Returns (K,32) uint8."""
+    H, W = img_blur.shape
+    px = jnp.asarray(_PATTERN[:, [0, 2]].T.reshape(-1).astype(np.float32))  # x1s then x2s
+    py = jnp.asarray(_PATTERN[:, [1, 3]].T.reshape(-1).astype(np.float32))
+    # interleave back to (512,) order [x1_0..x1_255, x2_0..x2_255] is fine —
+    # we compare sample[i] vs sample[256+i].
+    a = jnp.cos(angle)[:, None]
+    b = jnp.sin(angle)[:, None]
+    rx = jnp.round(px[None, :] * a - py[None, :] * b).astype(jnp.int32)  # col offset
+    ry = jnp.round(px[None, :] * b + py[None, :] * a).astype(jnp.int32)  # row offset
+    yy = jnp.clip(ys[:, None] + ry, 0, H - 1)
+    xx = jnp.clip(xs[:, None] + rx, 0, W - 1)
+    samp = img_blur[yy, xx]  # (K,512)
+    t0 = samp[:, :256]
+    t1 = samp[:, 256:]
+    bits = (t0 < t1).astype(jnp.uint8)  # bit k = I(p1) < I(p2), OpenCV order
+    return jnp.packbits(bits, axis=-1, bitorder="little")
+
+
+# ---------------------------------------------------------------------------
+# Full extractor
+# ---------------------------------------------------------------------------
+
+def _border_mask(h: int, w: int, margin: int):
+    m = np.zeros((h, w), dtype=bool)
+    if h > 2 * margin and w > 2 * margin:
+        m[margin : h - margin, margin : w - margin] = True
+    return jnp.asarray(m)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "height", "width"))
+def _extract_impl(img, mask, cfg: ORBConfig, height: int, width: int):
+    sizes = level_sizes(height, width, cfg)
+    budgets = cfg.level_budgets()
+    scales = cfg.level_scales()
+
+    out_xy, out_resp, out_ang, out_oct, out_val, out_desc = [], [], [], [], [], []
+    lvl_img = img
+    for l in range(cfg.n_levels):
+        h, w = sizes[l]
+        if l > 0:
+            lvl_img = resize_bilinear(lvl_img, h, w)
+        resp, corner = fast_response(lvl_img, cfg.min_threshold)
+        resp = jnp.where(corner, resp, 0.0)
+        resp = resp * _border_mask(h, w, EDGE_MARGIN)
+        if mask is not None:
+            lvl_mask = resize_bilinear(mask.astype(jnp.float32), h, w) > 0.5
+            resp = jnp.where(lvl_mask, resp, 0.0)
+        resp = nms3(resp)
+        k_l = max(budgets[l], 1)
+        ys, xs, r, valid = select_uniform_topk(resp, k_l, cfg.cell, cfg.per_cell)
+        ang = ic_angle(lvl_img, ys, xs)
+        blur = gaussian_blur7(lvl_img)
+        desc = brief_descriptors(blur, ys, xs, ang)
+        s = scales[l]
+        xy0 = jnp.stack([xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], -1)
+        out_xy.append(xy0)
+        out_resp.append(r)
+        out_ang.append(ang)
+        out_oct.append(jnp.full((k_l,), l, dtype=jnp.int32))
+        out_val.append(valid)
+        out_desc.append(desc)
+
+    xy = jnp.concatenate(out_xy, 0)
+    response = jnp.concatenate(out_resp, 0)
+    angle = jnp.concatenate(out_ang, 0)
+    octave = jnp.concatenate(out_oct, 0)
+    valid = jnp.concatenate(out_val, 0)
+    desc_u8 = jnp.concatenate(out_desc, 0)
+
+    # pad total capacity to a multiple of 128 (TPU lane alignment)
+    total = xy.shape[0]
+    cap = -(-total // 128) * 128
+    pad = cap - total
+    if pad:
+        xy = jnp.pad(xy, ((0, pad), (0, 0)))
+        response = jnp.pad(response, (0, pad))
+        angle = jnp.pad(angle, (0, pad))
+        octave = jnp.pad(octave, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+        desc_u8 = jnp.pad(desc_u8, ((0, pad), (0, 0)))
+
+    desc_u8 = jnp.where(valid[:, None], desc_u8, 0)
+    desc_pm1 = jnp.where(valid[:, None], unpack_bits_to_pm1(desc_u8), 0)
+    return Keypoints(
+        xy=xy,
+        response=jnp.where(valid, response, -jnp.inf),
+        angle=angle,
+        octave=octave,
+        valid=valid,
+        desc_u8=desc_u8,
+        desc_pm1=desc_pm1,
+    )
+
+
+def extract_orb(img, cfg: ORBConfig = ORBConfig(), mask=None) -> Keypoints:
+    """Extract ORB features from a grayscale image (H,W) float32 in [0,255].
+
+    `mask`, if given, restricts detection (nonzero = allowed) — used by the
+    BEV stream (`/root/reference/src/Frame.cc:328-342`).
+    """
+    img = jnp.asarray(img, dtype=jnp.float32)
+    h, w = img.shape
+    return _extract_impl(img, mask, cfg, h, w)
