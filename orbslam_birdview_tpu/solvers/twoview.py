@@ -1,0 +1,316 @@
+"""Two-view geometry: homography / fundamental estimation, scoring, motion
+recovery, triangulation.
+
+Re-designs `/root/reference/src/Initializer.cc` as batched JAX: the reference
+fits H and F on two *threads* with 200 serial RANSAC iterations each
+(`Initializer.cc:132-137`); here both models score hundreds of hypotheses in
+parallel on one chip. Scoring formulas, chi-square gates and the model-select
+ratio RH>0.40 match `CheckHomography` (`:333-416`), `CheckFundamental`
+(`:418-511`) and `Initialize` (`:140-146`).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import ransac
+
+CHI2_H = 5.991
+CHI2_F = 3.841
+SCORE_TH = 5.991
+
+
+def normalize_points(xy, valid):
+    """Hartley normalization (`Initializer.cc:947-994`): zero-mean, unit mean
+    abs deviation. Returns (xy_n, T 3x3)."""
+    w = valid.astype(xy.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(xy * w[:, None], axis=0) / n
+    d = (xy - mean) * w[:, None]
+    mdev = jnp.sum(jnp.abs(d), axis=0) / n
+    s = 1.0 / jnp.maximum(mdev, 1e-8)
+    xy_n = (xy - mean) * s
+    T = jnp.array(
+        [[s[0], 0.0, -mean[0] * s[0]], [0.0, s[1], -mean[1] * s[1]], [0.0, 0.0, 1.0]],
+        dtype=xy.dtype,
+    )
+    return xy_n, T
+
+
+def _dlt_homography(x1, x2):
+    """4+ point DLT; x1,x2 (k,2) -> H (3,3) mapping x1→x2."""
+    k = x1.shape[0]
+    u, v = x1[:, 0], x1[:, 1]
+    up, vp = x2[:, 0], x2[:, 1]
+    z = jnp.zeros_like(u)
+    o = jnp.ones_like(u)
+    r1 = jnp.stack([z, z, z, -u, -v, -o, vp * u, vp * v, vp], axis=-1)
+    r2 = jnp.stack([u, v, o, z, z, z, -up * u, -up * v, -up], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=0)  # (2k, 9)
+    _, _, vh = jnp.linalg.svd(A, full_matrices=True)
+    return vh[-1].reshape(3, 3)
+
+
+def _eightpoint_fundamental(x1, x2):
+    """8-point algorithm with rank-2 projection; x1,x2 (k,2)."""
+    u, v = x1[:, 0], x1[:, 1]
+    up, vp = x2[:, 0], x2[:, 1]
+    o = jnp.ones_like(u)
+    A = jnp.stack([up * u, up * v, up, vp * u, vp * v, vp, u, v, o], axis=-1)
+    _, _, vh = jnp.linalg.svd(A, full_matrices=True)
+    F = vh[-1].reshape(3, 3)
+    uF, sF, vFh = jnp.linalg.svd(F)
+    sF = sF.at[2].set(0.0)
+    return uF @ jnp.diag(sF) @ vFh
+
+
+def score_homography(H21, xy1, xy2, valid, sigma: float):
+    """Symmetric transfer error scoring (`Initializer.cc:333-416`).
+    Returns (score, inliers)."""
+    inv_s2 = 1.0 / (sigma * sigma)
+    H12 = jnp.linalg.inv(H21)
+
+    def transfer(H, a, b):
+        den = H[2, 0] * a[:, 0] + H[2, 1] * a[:, 1] + H[2, 2]
+        den = jnp.where(jnp.abs(den) > 1e-12, den, 1e-12)
+        px = (H[0, 0] * a[:, 0] + H[0, 1] * a[:, 1] + H[0, 2]) / den
+        py = (H[1, 0] * a[:, 0] + H[1, 1] * a[:, 1] + H[1, 2]) / den
+        return ((b[:, 0] - px) ** 2 + (b[:, 1] - py) ** 2) * inv_s2
+
+    chi2_1 = transfer(H21, xy1, xy2)
+    chi2_2 = transfer(H12, xy2, xy1)
+    ok = (chi2_1 < CHI2_H) & (chi2_2 < CHI2_H) & valid
+    score = jnp.sum(
+        jnp.where(valid & (chi2_1 < CHI2_H), CHI2_H - chi2_1, 0.0)
+        + jnp.where(valid & (chi2_2 < CHI2_H), CHI2_H - chi2_2, 0.0)
+    )
+    return score, ok
+
+
+def score_fundamental(F21, xy1, xy2, valid, sigma: float):
+    """Epipolar point-line distance scoring (`Initializer.cc:418-511`)."""
+    inv_s2 = 1.0 / (sigma * sigma)
+
+    def line_dist2(F, a, b):
+        # l = F [a;1]; dist of b to l
+        la = F[0, 0] * a[:, 0] + F[0, 1] * a[:, 1] + F[0, 2]
+        lb = F[1, 0] * a[:, 0] + F[1, 1] * a[:, 1] + F[1, 2]
+        lc = F[2, 0] * a[:, 0] + F[2, 1] * a[:, 1] + F[2, 2]
+        num = la * b[:, 0] + lb * b[:, 1] + lc
+        den = la * la + lb * lb
+        den = jnp.maximum(den, 1e-12)
+        return num * num / den * inv_s2
+
+    chi2_1 = line_dist2(F21, xy1, xy2)
+    chi2_2 = line_dist2(F21.T, xy2, xy1)
+    ok = (chi2_1 < CHI2_F) & (chi2_2 < CHI2_F) & valid
+    score = jnp.sum(
+        jnp.where(valid & (chi2_1 < CHI2_F), SCORE_TH - chi2_1, 0.0)
+        + jnp.where(valid & (chi2_2 < CHI2_F), SCORE_TH - chi2_2, 0.0)
+    )
+    return score, ok
+
+
+class TwoViewFit(NamedTuple):
+    model: jnp.ndarray  # (3,3) H21 or F21
+    score: jnp.ndarray
+    inliers: jnp.ndarray  # (N,) bool
+
+
+def fit_homography_ransac(key, xy1, xy2, valid, sigma: float, n_hyp: int = 256):
+    xy1n, T1 = normalize_points(xy1, valid)
+    xy2n, T2 = normalize_points(xy2, valid)
+    idx, hyp_ok = ransac.sample_minimal_sets(key, valid, n_hyp, 4)
+    Hn = jax.vmap(lambda i: _dlt_homography(xy1n[i], xy2n[i]))(idx)
+    T2inv = jnp.linalg.inv(T2)
+    H = jnp.einsum("ij,njk,kl->nil", T2inv, Hn, T1)
+    scores, inl = jax.vmap(lambda h: score_homography(h, xy1, xy2, valid, sigma))(H)
+    best, s = ransac.best_hypothesis(scores, hyp_ok)
+    return TwoViewFit(H[best], s, inl[best])
+
+
+def fit_fundamental_ransac(key, xy1, xy2, valid, sigma: float, n_hyp: int = 256):
+    xy1n, T1 = normalize_points(xy1, valid)
+    xy2n, T2 = normalize_points(xy2, valid)
+    idx, hyp_ok = ransac.sample_minimal_sets(key, valid, n_hyp, 8)
+    Fn = jax.vmap(lambda i: _eightpoint_fundamental(xy1n[i], xy2n[i]))(idx)
+    F = jnp.einsum("ji,njk,kl->nil", T2, Fn, T1)  # T2' F T1
+    scores, inl = jax.vmap(lambda f: score_fundamental(f, xy1, xy2, valid, sigma))(F)
+    best, s = ransac.best_hypothesis(scores, hyp_ok)
+    return TwoViewFit(F[best], s, inl[best])
+
+
+# ---------------------------------------------------------------------------
+# Triangulation + cheirality
+# ---------------------------------------------------------------------------
+
+def triangulate_dlt(P1, P2, xy1, xy2):
+    """Batched linear triangulation (`Initializer.cc:932-945`).
+    P1,P2 (3,4); xy1,xy2 (N,2) -> (N,3)."""
+    r1 = xy1[:, 0:1] * P1[2][None] - P1[0][None]
+    r2 = xy1[:, 1:2] * P1[2][None] - P1[1][None]
+    r3 = xy2[:, 0:1] * P2[2][None] - P2[0][None]
+    r4 = xy2[:, 1:2] * P2[2][None] - P2[1][None]
+    A = jnp.stack([r1, r2, r3, r4], axis=1)  # (N,4,4)
+    _, _, vh = jnp.linalg.svd(A)
+    X = vh[..., -1, :]
+    w = X[..., 3]
+    w = jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
+    return X[..., :3] / w[..., None]
+
+
+def check_rt(R, t, xy1, xy2, valid, K, sigma: float):
+    """Count points passing cheirality/parallax/reprojection gates for a
+    candidate (R,t) (`Initializer.cc:996-1105`).
+
+    Returns (n_good, parallax_deg, points (N,3), good (N,) bool); parallax is
+    the 50th-smallest good parallax like the reference (index min(50, n)-1
+    of sorted parallaxes).
+    """
+    P1 = K @ jnp.concatenate([jnp.eye(3, dtype=K.dtype), jnp.zeros((3, 1), K.dtype)], axis=1)
+    P2 = K @ jnp.concatenate([R, t[:, None]], axis=1)
+    O1 = jnp.zeros(3, K.dtype)
+    O2 = -R.T @ t
+    X = triangulate_dlt(P1, P2, xy1, xy2)
+    finite = jnp.all(jnp.isfinite(X), axis=-1)
+
+    n1 = X - O1[None]
+    n2 = X - O2[None]
+    d1 = jnp.linalg.norm(n1, axis=-1)
+    d2 = jnp.linalg.norm(n2, axis=-1)
+    cos_par = jnp.sum(n1 * n2, axis=-1) / jnp.maximum(d1 * d2, 1e-12)
+
+    z1 = X[:, 2]
+    Xc2 = (R @ X.T).T + t[None]
+    z2 = Xc2[:, 2]
+    # the reference only rejects negative depth when parallax is sufficient
+    good_depth = ((z1 > 0) | (cos_par > 0.99998)) & ((z2 > 0) | (cos_par > 0.99998))
+
+    def reproj_err2(P, X, xy):
+        ph = P @ jnp.concatenate([X, jnp.ones((X.shape[0], 1), X.dtype)], axis=1).T
+        u = ph[0] / jnp.where(jnp.abs(ph[2]) > 1e-12, ph[2], 1e-12)
+        v = ph[1] / jnp.where(jnp.abs(ph[2]) > 1e-12, ph[2], 1e-12)
+        return (u - xy[:, 0]) ** 2 + (v - xy[:, 1]) ** 2
+
+    th2 = 4.0 * sigma * sigma
+    e1 = reproj_err2(P1, X, xy1)
+    e2 = reproj_err2(P2, X, xy2)
+    good = valid & finite & good_depth & (e1 < th2) & (e2 < th2) & (cos_par < 0.99998)
+    n_good = jnp.sum(good.astype(jnp.int32))
+
+    par = jnp.where(good, cos_par, -2.0)  # sort desc cos == asc angle
+    par_sorted = -jnp.sort(-par)  # descending cos
+    idx50 = jnp.clip(jnp.minimum(jnp.asarray(50), n_good) - 1, 0, valid.shape[0] - 1)
+    cos_sel = par_sorted[idx50]
+    parallax_deg = jnp.degrees(jnp.arccos(jnp.clip(cos_sel, -1.0, 1.0)))
+    parallax_deg = jnp.where(n_good > 0, parallax_deg, 0.0)
+    return n_good, parallax_deg, X, good
+
+
+def decompose_essential(E):
+    """E -> (R1, R2, t) with ||t||=1 (`Initializer.cc:1107-1128`)."""
+    u, _, vh = jnp.linalg.svd(E)
+    t = u[:, 2]
+    t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E.dtype)
+    R1 = u @ W @ vh
+    R2 = u @ W.T @ vh
+    R1 = R1 * jnp.sign(jnp.linalg.det(R1))
+    R2 = R2 * jnp.sign(jnp.linalg.det(R2))
+    return R1, R2, t
+
+
+def motion_hypotheses_from_F(F21, K):
+    """The 4 (R,t) hypotheses from E = K' F K."""
+    E = K.T @ F21 @ K
+    R1, R2, t = decompose_essential(E)
+    Rs = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([t, -t, t, -t])
+    return Rs, ts
+
+
+def motion_hypotheses_from_H(H21, K):
+    """Faugeras SVD decomposition of a homography into 8 (R,t,n) hypotheses
+    (`Initializer.cc:770-930`)."""
+    A = jnp.linalg.inv(K) @ H21 @ K
+    U, s, Vh = jnp.linalg.svd(A)
+    V = Vh.T
+    detUV = jnp.linalg.det(U) * jnp.linalg.det(V)
+    d1, d2, d3 = s[0], s[1], s[2]
+
+    eps = 1e-9
+    aux1 = jnp.sqrt(jnp.maximum((d1 * d1 - d2 * d2) / jnp.maximum(d1 * d1 - d3 * d3, eps), 0.0))
+    aux3 = jnp.sqrt(jnp.maximum((d2 * d2 - d3 * d3) / jnp.maximum(d1 * d1 - d3 * d3, eps), 0.0))
+    x1s = jnp.array([1.0, 1.0, -1.0, -1.0]) * aux1
+    x3s = jnp.array([1.0, -1.0, 1.0, -1.0]) * aux3
+
+    # case d' > 0
+    sin_t = jnp.sqrt(
+        jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)
+    ) / jnp.maximum((d1 + d3) * d2, eps)
+    cos_t = (d2 * d2 + d1 * d3) / jnp.maximum((d1 + d3) * d2, eps)
+    stheta = jnp.array([1.0, -1.0, -1.0, 1.0]) * sin_t
+
+    def make_Rt_pos(x1, x3, st):
+        Rp = jnp.array(
+            [[cos_t, 0.0, -st], [0.0, 1.0, 0.0], [st, 0.0, cos_t]]
+        )
+        R = detUV * (U @ Rp @ Vh)
+        tp = jnp.array([x1, 0.0, -x3]) * (d1 - d3)
+        t = U @ tp
+        return R, t / jnp.maximum(jnp.linalg.norm(t), eps)
+
+    # case d' < 0
+    sin_p = jnp.sqrt(
+        jnp.maximum((d1 * d1 - d2 * d2) * (d2 * d2 - d3 * d3), 0.0)
+    ) / jnp.maximum((d1 - d3) * d2, eps)
+    cos_p = (d1 * d3 - d2 * d2) / jnp.maximum((d1 - d3) * d2, eps)
+    sphi = jnp.array([1.0, -1.0, -1.0, 1.0]) * sin_p
+
+    def make_Rt_neg(x1, x3, sp):
+        Rp = jnp.array(
+            [[cos_p, 0.0, sp], [0.0, -1.0, 0.0], [sp, 0.0, -cos_p]]
+        )
+        R = detUV * (U @ Rp @ Vh)
+        tp = jnp.array([x1, 0.0, x3]) * (d1 + d3)
+        t = U @ tp
+        return R, t / jnp.maximum(jnp.linalg.norm(t), eps)
+
+    Rs, ts = [], []
+    for i in range(4):
+        R, t = make_Rt_pos(x1s[i], x3s[i], stheta[i])
+        Rs.append(R)
+        ts.append(t)
+    for i in range(4):
+        R, t = make_Rt_neg(x1s[i], x3s[i], sphi[i])
+        Rs.append(R)
+        ts.append(t)
+    return jnp.stack(Rs), jnp.stack(ts)
+
+
+def select_motion(Rs, ts, xy1, xy2, inliers, K, sigma: float,
+                  min_parallax: float = 1.0, min_triangulated: int = 50):
+    """Score all motion hypotheses with check_rt; pick a clear winner
+    (`Initializer.cc:593-768`). Returns (ok, R, t, points, good_mask)."""
+    n_goods, pars, Xs, goods = jax.vmap(
+        lambda R, t: check_rt(R, t, xy1, xy2, inliers, K, sigma)
+    )(Rs, ts)
+    best = jnp.argmax(n_goods)
+    max_good = n_goods[best]
+    # a high-scoring hypothesis only competes if geometrically distinct from
+    # the winner (the birdview path injects an ICP hypothesis that may
+    # coincide with the E-derived one, `Initializer.cc:650-651`)
+    dR = jnp.einsum("ij,nik->njk", Rs[best], Rs)  # R_best^T R_n
+    tr = jnp.trace(dR, axis1=-2, axis2=-1)
+    ang = jnp.arccos(jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0))
+    distinct = ang > 0.01
+    n_similar = jnp.sum((n_goods > 0.7 * max_good) & distinct) + 1
+    n_inl = jnp.sum(inliers.astype(jnp.int32))
+    min_good = jnp.maximum(
+        jnp.asarray(min_triangulated, jnp.int32),
+        (0.9 * n_inl).astype(jnp.int32),
+    )
+    ok = (max_good >= min_good) & (n_similar == 1) & (pars[best] > min_parallax)
+    return ok, Rs[best], ts[best], Xs[best], goods[best]
