@@ -1,0 +1,128 @@
+"""Residuals and closed-form Jacobians for all BA / pose-graph edge types.
+
+Replaces the reference's custom g2o types with hand-derived Jacobians
+(`/root/reference/src/OdomG2oType.cc`, `include/OdomG2oType.h`) and the stock
+SBA types. Conventions:
+
+- Camera pose is Tcw (world→camera), parameterized by LEFT-multiplicative
+  SE3 tangent [rho, phi] (matches VertexSE3Quat::oplusImpl).
+- Residual e = observation − prediction; cost = e^T Ω e with Ω = info · I.
+- Jacobians returned are ∂e/∂ξ (camera) and ∂e/∂X (landmark world position).
+
+Edge catalog (reference mapping):
+- mono reprojection        ↔ EdgeSE3ProjectXYZOnlyPoseQuat / EdgeSE3ProjectXYZ2UVQuat
+- stereo reprojection      ↔ stock EdgeStereoSE3ProjectXYZ (the fork's TODO —
+                              we implement it for real, SURVEY §7.4)
+- bird 3D point-to-point   ↔ EdgeSE3ProjectXYZ2XYZOnlyPoseQuat / ...2XYZQuat
+- point-transform          ↔ EdgePointTransformSE3Quat
+- SE3 relative pose        ↔ EdgeSE3Quat
+- Sim3 relative pose       ↔ stock EdgeSim3 (essential graph)
+
+All functions are batched over the leading axis and fully jittable; tests
+check every Jacobian against finite differences.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import lie
+
+
+def _proj_jac(Xc, fx, fy):
+    """∂(u,v)/∂Xc for pinhole projection. Xc (…,3) -> (…,2,3)."""
+    x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
+    zi = 1.0 / jnp.maximum(z, 1e-9)
+    zi2 = zi * zi
+    zero = jnp.zeros_like(zi)
+    Ju = jnp.stack([fx * zi, zero, -fx * x * zi2], axis=-1)
+    Jv = jnp.stack([zero, fy * zi, -fy * y * zi2], axis=-1)
+    return jnp.stack([Ju, Jv], axis=-2)
+
+
+def _xc_jacs(Xc, R):
+    """∂Xc/∂ξ = [I | −[Xc]×] (left-mult tangent) and ∂Xc/∂Xw = R."""
+    I = jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), Xc.shape[:-1] + (3, 3))
+    Jxi = jnp.concatenate([I, -lie.hat(Xc)], axis=-1)  # (…,3,6)
+    return Jxi, R
+
+
+def mono_reproj(R, t, Xw, obs_uv, fx, fy, cx, cy):
+    """Monocular reprojection edge.
+
+    Returns (e (…,2), J_xi (…,2,6), J_X (…,2,3), depth_ok (…,))."""
+    Xc = jnp.einsum("...ij,...j->...i", R, Xw) + t
+    z = Xc[..., 2]
+    zi = 1.0 / jnp.maximum(z, 1e-9)
+    pred = jnp.stack([fx * Xc[..., 0] * zi + cx, fy * Xc[..., 1] * zi + cy], axis=-1)
+    e = obs_uv - pred
+    Jp = _proj_jac(Xc, fx, fy)
+    Jxi_xc, _ = _xc_jacs(Xc, R)
+    J_xi = -(Jp @ Jxi_xc)
+    J_X = -(Jp @ R)
+    return e, J_xi, J_X, z > 1e-6
+
+
+def stereo_reproj(R, t, Xw, obs_uvr, fx, fy, cx, cy, bf):
+    """Stereo edge: residual (u, v, u_right) with u_r = u − bf/z."""
+    Xc = jnp.einsum("...ij,...j->...i", R, Xw) + t
+    x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
+    zi = 1.0 / jnp.maximum(z, 1e-9)
+    u = fx * x * zi + cx
+    v = fy * y * zi + cy
+    ur = u - bf * zi
+    pred = jnp.stack([u, v, ur], axis=-1)
+    e = obs_uvr - pred
+    zi2 = zi * zi
+    zero = jnp.zeros_like(zi)
+    Ju = jnp.stack([fx * zi, zero, -fx * x * zi2], axis=-1)
+    Jv = jnp.stack([zero, fy * zi, -fy * y * zi2], axis=-1)
+    Jur = jnp.stack([fx * zi, zero, -fx * x * zi2 + bf * zi2], axis=-1)
+    Jp = jnp.stack([Ju, Jv, Jur], axis=-2)  # (…,3,3)
+    Jxi_xc, _ = _xc_jacs(Xc, R)
+    J_xi = -(Jp @ Jxi_xc)
+    J_X = -(Jp @ R)
+    return e, J_xi, J_X, z > 1e-6
+
+
+def bird_point(R, t, Xw, obs_pc):
+    """BEV 3D point-to-point edge (`EdgeSE3ProjectXYZ2XYZQuat`,
+    `OdomG2oType.cc:137-157`): e = pc_obs − (R Xw + t), camera frame."""
+    Xc = jnp.einsum("...ij,...j->...i", R, Xw) + t
+    e = obs_pc - Xc
+    Jxi_xc, _ = _xc_jacs(Xc, R)
+    J_xi = -Jxi_xc
+    J_X = -jnp.broadcast_to(R, Xc.shape[:-1] + (3, 3))
+    return e, J_xi, J_X
+
+
+def point_transform(R12, t12, pc2, pc1_obs):
+    """Frame-to-frame point transfer (`EdgePointTransformSE3Quat`,
+    `OdomG2oType.cc:61-86`): e = pc1_obs − T12 · pc2, Jacobian wrt T12."""
+    p1 = pc2 @ R12.T + t12
+    e = pc1_obs - p1
+    Jxi_xc, _ = _xc_jacs(p1, R12)
+    return e, -Jxi_xc
+
+
+def se3_relative(Ri, ti, Rj, tj, Rij_meas, tij_meas):
+    """SE3 relative-pose edge (`EdgeSE3Quat`, `OdomG2oType.cc:160-192`):
+    e = log( T_meas^-1 · Ti · Tj^-1 ) with Ti = pose of i (world→i).
+
+    Returns (e (6,)). Jacobians in the pose-graph solver are taken by
+    autodiff — this edge is not on the per-frame hot path."""
+    Rm_inv, tm_inv = lie.se3_inv(Rij_meas, tij_meas)
+    Rj_inv, tj_inv = lie.se3_inv(Rj, tj)
+    R1, t1 = lie.se3_mul(Ri, ti, Rj_inv, tj_inv)
+    R2, t2 = lie.se3_mul(Rm_inv, tm_inv, R1, t1)
+    return lie.se3_log(R2, t2)
+
+
+def sim3_relative(Ri, ti, si, Rj, tj, sj, Rij, tij, sij):
+    """Sim3 relative-pose edge for the essential graph
+    (`src/Optimizer.cc:781-1044` uses g2o EdgeSim3):
+    e = log( S_ji_meas · S_iw · S_jw^-1 ): zero when S_jw = S_ji · S_iw
+    (measurement maps frame i into frame j)."""
+    Rj_inv, tj_inv, sj_inv = lie.sim3_inv(Rj, tj, sj)
+    R1, t1, s1 = lie.sim3_mul(Ri, ti, si, Rj_inv, tj_inv, sj_inv)
+    R2, t2, s2 = lie.sim3_mul(Rij, tij, sij, R1, t1, s1)
+    return lie.sim3_log(R2, t2, s2)

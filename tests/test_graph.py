@@ -1,0 +1,316 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam_birdview_tpu.core import lie
+from orbslam_birdview_tpu.graph import ba, pose_opt, residuals
+
+FX, FY, CX, CY, BF = 500.0, 500.0, 320.0, 240.0, 40.0
+
+
+def fd_jacobian(f, x, eps=1e-3):
+    f0 = np.asarray(f(x))
+    J = np.zeros(f0.shape + x.shape)
+    for i in range(x.shape[0]):
+        xp = np.asarray(x).copy()
+        xp[i] += eps
+        xm = np.asarray(x).copy()
+        xm[i] -= eps
+        J[..., i] = (np.asarray(f(jnp.asarray(xp))) - np.asarray(f(jnp.asarray(xm)))) / (2 * eps)
+    return J
+
+
+@pytest.fixture
+def pose_and_point(rng):
+    xi = rng.normal(size=6).astype(np.float32) * 0.3
+    R, t = lie.se3_exp(jnp.asarray(xi))
+    Xw = jnp.asarray(np.array([[0.6, -0.4, 5.0]], np.float32))
+    return R, t, Xw
+
+
+def test_mono_jacobian_pose(pose_and_point):
+    R, t, Xw = pose_and_point
+    obs = jnp.asarray(np.array([[300.0, 200.0]], np.float32))
+
+    def f(xi):
+        Rn, tn = lie.se3_update_left(R, t, xi)
+        e, _, _, _ = residuals.mono_reproj(Rn, tn, Xw, obs, FX, FY, CX, CY)
+        return e[0]
+
+    J_fd = fd_jacobian(f, jnp.zeros(6))
+    _, J, _, _ = residuals.mono_reproj(R, t, Xw, obs, FX, FY, CX, CY)
+    np.testing.assert_allclose(np.asarray(J[0]), J_fd, rtol=2e-2, atol=0.1)
+
+
+def test_mono_jacobian_point(pose_and_point):
+    R, t, Xw = pose_and_point
+    obs = jnp.asarray(np.array([[300.0, 200.0]], np.float32))
+
+    def f(X):
+        e, _, _, _ = residuals.mono_reproj(R, t, X[None], obs, FX, FY, CX, CY)
+        return e[0]
+
+    J_fd = fd_jacobian(f, Xw[0])
+    _, _, Jx, _ = residuals.mono_reproj(R, t, Xw, obs, FX, FY, CX, CY)
+    np.testing.assert_allclose(np.asarray(Jx[0]), J_fd, rtol=2e-2, atol=0.1)
+
+
+def test_stereo_jacobians(pose_and_point):
+    R, t, Xw = pose_and_point
+    obs = jnp.asarray(np.array([[300.0, 200.0, 290.0]], np.float32))
+
+    def f(xi):
+        Rn, tn = lie.se3_update_left(R, t, xi)
+        e, _, _, _ = residuals.stereo_reproj(Rn, tn, Xw, obs, FX, FY, CX, CY, BF)
+        return e[0]
+
+    J_fd = fd_jacobian(f, jnp.zeros(6))
+    _, J, Jx, _ = residuals.stereo_reproj(R, t, Xw, obs, FX, FY, CX, CY, BF)
+    np.testing.assert_allclose(np.asarray(J[0]), J_fd, rtol=2e-2, atol=0.1)
+
+    def fp(X):
+        e, _, _, _ = residuals.stereo_reproj(R, t, X[None], obs, FX, FY, CX, CY, BF)
+        return e[0]
+
+    Jx_fd = fd_jacobian(fp, Xw[0])
+    np.testing.assert_allclose(np.asarray(Jx[0]), Jx_fd, rtol=2e-2, atol=0.1)
+
+
+def test_bird_jacobians(pose_and_point):
+    R, t, Xw = pose_and_point
+    obs = jnp.asarray(np.array([[1.0, 0.5, 0.1]], np.float32))
+
+    def f(xi):
+        Rn, tn = lie.se3_update_left(R, t, xi)
+        e, _, _ = residuals.bird_point(Rn, tn, Xw, obs)
+        return e[0]
+
+    J_fd = fd_jacobian(f, jnp.zeros(6))
+    _, J, Jx = residuals.bird_point(R, t, Xw, obs)
+    np.testing.assert_allclose(np.asarray(J[0]), J_fd, rtol=2e-2, atol=0.1)
+
+    def fp(X):
+        e, _, _ = residuals.bird_point(R, t, X[None], obs)
+        return e[0]
+
+    Jx_fd = fd_jacobian(fp, Xw[0])
+    np.testing.assert_allclose(np.asarray(Jx[0]), Jx_fd, rtol=2e-2, atol=0.1)
+
+
+def test_se3_relative_zero_at_consistency(rng):
+    xi_i = rng.normal(size=6).astype(np.float32) * 0.4
+    xi_ij = rng.normal(size=6).astype(np.float32) * 0.4
+    Ri, ti = lie.se3_exp(jnp.asarray(xi_i))
+    Rij, tij = lie.se3_exp(jnp.asarray(xi_ij))
+    # Tj = Tij^-1 * Ti  =>  meas = Ti * Tj^-1 = Tij
+    Rij_inv, tij_inv = lie.se3_inv(Rij, tij)
+    Rj, tj = lie.se3_mul(Rij_inv, tij_inv, Ri, ti)
+    e = residuals.se3_relative(Ri, ti, Rj, tj, Rij, tij)
+    np.testing.assert_allclose(np.asarray(e), 0.0, atol=1e-5)
+
+
+def test_sim3_relative_zero_at_consistency(rng):
+    xi_i = rng.normal(size=7).astype(np.float32) * 0.3
+    xi_ij = rng.normal(size=7).astype(np.float32) * 0.3
+    Ri, ti, si = lie.sim3_exp(jnp.asarray(xi_i))
+    Rij, tij, sij = lie.sim3_exp(jnp.asarray(xi_ij))
+    Rj, tj, sj = lie.sim3_mul(Rij, tij, sij, Ri, ti, si)
+    e = residuals.sim3_relative(Ri, ti, si, Rj, tj, sj, Rij, tij, sij)
+    np.testing.assert_allclose(np.asarray(e), 0.0, atol=1e-4)
+
+
+def synth_observations(rng, n=150, pose_noise=0.05):
+    X = np.stack(
+        [rng.uniform(-4, 4, n), rng.uniform(-3, 3, n), rng.uniform(4, 12, n)], 1
+    ).astype(np.float32)
+    xi_gt = np.array([0.1, -0.05, 0.2, 0.03, -0.06, 0.04], np.float32)
+    R_gt, t_gt = lie.se3_exp(jnp.asarray(xi_gt))
+    Xc = X @ np.asarray(R_gt).T + np.asarray(t_gt)
+    uv = np.stack([FX * Xc[:, 0] / Xc[:, 2] + CX, FY * Xc[:, 1] / Xc[:, 2] + CY], 1)
+    uv += rng.normal(0, 0.5, uv.shape)
+    return X, uv.astype(np.float32), R_gt, t_gt, xi_gt
+
+
+def test_pose_opt_converges(rng):
+    X, uv, R_gt, t_gt, xi_gt = synth_observations(rng)
+    n = len(X)
+    # corrupt 15% of observations
+    uv = uv.copy()
+    uv[:22] += rng.uniform(20, 80, (22, 2))
+    xi0 = xi_gt + rng.normal(0, 0.05, 6).astype(np.float32)
+    R0, t0 = lie.se3_exp(jnp.asarray(xi0))
+    res = pose_opt.optimize_pose(
+        R0, t0, jnp.asarray(X), jnp.asarray(uv), jnp.ones(n), jnp.ones(n, bool),
+        FX, FY, CX, CY,
+    )
+    err_R = np.linalg.norm(np.asarray(lie.so3_log(res.R @ np.asarray(R_gt).T)))
+    err_t = np.linalg.norm(np.asarray(res.t) - np.asarray(t_gt))
+    assert err_R < 2e-3, err_R
+    assert err_t < 5e-3, err_t
+    # outliers must be flagged
+    inl = np.asarray(res.inliers_mono)
+    assert inl[22:].mean() > 0.97
+    assert inl[:22].mean() < 0.1
+
+
+def test_pose_opt_with_bird_edges(rng):
+    X, uv, R_gt, t_gt, xi_gt = synth_observations(rng, n=80)
+    nb = 60
+    Xb = np.stack(
+        [rng.uniform(-6, 6, nb), rng.uniform(-6, 6, nb), np.zeros(nb)], 1
+    ).astype(np.float32)
+    obs_pc = Xb @ np.asarray(R_gt).T + np.asarray(t_gt)
+    obs_pc += rng.normal(0, 0.01, obs_pc.shape).astype(np.float32)
+    xi0 = xi_gt + rng.normal(0, 0.05, 6).astype(np.float32)
+    R0, t0 = lie.se3_exp(jnp.asarray(xi0))
+    res = pose_opt.optimize_pose(
+        R0, t0, jnp.asarray(X), jnp.asarray(uv), jnp.ones(80), jnp.ones(80, bool),
+        FX, FY, CX, CY,
+        Xw_bird=jnp.asarray(Xb), obs_pc_bird=jnp.asarray(obs_pc),
+        info_bird=jnp.full(nb, 1.0 / 0.01**2), valid_bird=jnp.ones(nb, bool),
+    )
+    err_t = np.linalg.norm(np.asarray(res.t) - np.asarray(t_gt))
+    assert err_t < 5e-3
+    assert int(jnp.sum(res.inliers_bird)) > 55
+
+
+def synth_ba_problem(rng, n_cams=6, n_pts=300, noise=0.5):
+    X = np.stack(
+        [rng.uniform(-5, 5, n_pts), rng.uniform(-4, 4, n_pts), rng.uniform(6, 14, n_pts)], 1
+    ).astype(np.float32)
+    poses = []
+    for c in range(n_cams):
+        xi = np.array([0.3 * c, 0.02 * c, 0.01 * c, 0.0, -0.02 * c, 0.0], np.float32)
+        poses.append(lie.se3_exp(jnp.asarray(xi)))
+    cam_R = jnp.stack([p[0] for p in poses])
+    cam_t = jnp.stack([p[1] for p in poses])
+    edges_cam, edges_pt, edges_obs = [], [], []
+    for c in range(n_cams):
+        Xc = X @ np.asarray(cam_R[c]).T + np.asarray(cam_t[c])
+        uv = np.stack([FX * Xc[:, 0] / Xc[:, 2] + CX, FY * Xc[:, 1] / Xc[:, 2] + CY], 1)
+        vis = (Xc[:, 2] > 0.5) & (np.abs(uv[:, 0] - CX) < 400) & (np.abs(uv[:, 1] - CY) < 300)
+        ids = np.nonzero(vis)[0]
+        edges_cam += [c] * len(ids)
+        edges_pt += ids.tolist()
+        edges_obs += (uv[ids] + rng.normal(0, noise, (len(ids), 2))).tolist()
+    E = len(edges_cam)
+    return (
+        cam_R, cam_t, jnp.asarray(X),
+        jnp.asarray(np.array(edges_cam, np.int32)),
+        jnp.asarray(np.array(edges_pt, np.int32)),
+        jnp.asarray(np.array(edges_obs, np.float32)),
+        E,
+    )
+
+
+def test_bundle_adjust_synthetic(rng):
+    cam_R, cam_t, X_gt, e_cam, e_pt, e_obs, E = synth_ba_problem(rng)
+    C, P = cam_R.shape[0], X_gt.shape[0]
+    # perturb cams (except first two, fixed) and points
+    pert = jnp.asarray(rng.normal(0, 0.02, (C, 6)).astype(np.float32))
+    pert = pert.at[:2].set(0.0)
+    Rp, tp = jax.vmap(lie.se3_update_left)(cam_R, cam_t, pert)
+    Xp = X_gt + jnp.asarray(rng.normal(0, 0.05, (P, 3)).astype(np.float32))
+    mono = ba.EdgeSet(e_cam, e_pt, e_obs, jnp.ones(E), jnp.ones(E, bool))
+    fixed = jnp.zeros(C, bool).at[0].set(True).at[1].set(True)
+    res = ba.bundle_adjust(
+        Rp, tp, fixed, jnp.ones(C, bool), Xp, jnp.ones(P, bool),
+        mono, None, None, FX, FY, CX, CY,
+    )
+    # fixed cameras unchanged
+    np.testing.assert_allclose(np.asarray(res.cam_R[:2]), np.asarray(cam_R[:2]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res.cam_t[:2]), np.asarray(cam_t[:2]), atol=1e-6)
+    # free cameras recovered
+    for c in range(2, C):
+        err_R = np.linalg.norm(
+            np.asarray(lie.so3_log(res.cam_R[c] @ cam_R[c].T))
+        )
+        err_t = np.linalg.norm(np.asarray(res.cam_t[c] - cam_t[c]))
+        assert err_R < 3e-3, (c, err_R)
+        assert err_t < 1e-2, (c, err_t)
+    # points recovered to triangulation-theory accuracy
+    # (sigma_z ≈ z²·σ_n/(f·B) ≈ 0.07 m at z≈10, 0.5px noise, ~1.5 m baseline)
+    perr = np.linalg.norm(np.asarray(res.points) - np.asarray(X_gt), axis=1)
+    assert np.median(perr) < 0.12, np.median(perr)
+    assert int(jnp.sum(res.inl_mono)) > 0.95 * E
+    # optimality: residual RMS ≈ injected noise (0.5 px, 2 dof → chi2 ≈ 0.5)
+    mean_chi2 = float(res.cost) / E
+    assert mean_chi2 < 1.0, mean_chi2
+
+
+def test_bundle_adjust_with_outliers(rng):
+    cam_R, cam_t, X_gt, e_cam, e_pt, e_obs, E = synth_ba_problem(rng, noise=0.3)
+    C, P = cam_R.shape[0], X_gt.shape[0]
+    n_out = E // 10
+    e_obs = e_obs.at[:n_out].add(
+        jnp.asarray(rng.uniform(30, 90, (n_out, 2)).astype(np.float32))
+    )
+    # fix two cams: with one fixed camera a monocular BA has a free scale
+    # gauge and can drift along it
+    pert = jnp.asarray(rng.normal(0, 0.01, (C, 6)).astype(np.float32))
+    pert = pert.at[:2].set(0.0)
+    Rp, tp = jax.vmap(lie.se3_update_left)(cam_R, cam_t, pert)
+    mono = ba.EdgeSet(e_cam, e_pt, e_obs, jnp.ones(E), jnp.ones(E, bool))
+    fixed = jnp.zeros(C, bool).at[0].set(True).at[1].set(True)
+    res = ba.bundle_adjust(
+        Rp, tp, fixed, jnp.ones(C, bool), X_gt, jnp.ones(P, bool),
+        mono, None, None, FX, FY, CX, CY,
+    )
+    inl = np.asarray(res.inl_mono)
+    assert inl[:n_out].mean() < 0.15, "outliers should be rejected"
+    assert inl[n_out:].mean() > 0.9
+    for c in range(2, C):
+        err_t = np.linalg.norm(np.asarray(res.cam_t[c] - cam_t[c]))
+        assert err_t < 2.5e-2, (c, err_t)
+
+
+def test_bundle_adjust_stereo_and_bird(rng):
+    """Stereo + bird edges: both implemented for real (reference TODOs)."""
+    cam_R, cam_t, X_gt, e_cam, e_pt, e_obs, E = synth_ba_problem(rng, n_cams=4)
+    C, P = cam_R.shape[0], X_gt.shape[0]
+    # stereo obs: add u_r = u − bf/z
+    obs3 = []
+    for i in range(E):
+        c, p = int(e_cam[i]), int(e_pt[i])
+        Xc = np.asarray(X_gt[p]) @ np.asarray(cam_R[c]).T + np.asarray(cam_t[c])
+        obs3.append([float(e_obs[i, 0]), float(e_obs[i, 1]),
+                     float(e_obs[i, 0]) - BF / Xc[2]])
+    stereo = ba.EdgeSet(
+        e_cam, e_pt, jnp.asarray(np.array(obs3, np.float32)),
+        jnp.ones(E), jnp.ones(E, bool),
+    )
+    # bird landmarks appended to the point array
+    nb = 50
+    Xb = np.stack([rng.uniform(-6, 6, nb), rng.uniform(-6, 6, nb), np.zeros(nb)], 1).astype(np.float32)
+    pts = jnp.concatenate([X_gt, jnp.asarray(Xb)], 0)
+    b_cam, b_pt, b_obs = [], [], []
+    for c in range(C):
+        pc = Xb @ np.asarray(cam_R[c]).T + np.asarray(cam_t[c])
+        b_cam += [c] * nb
+        b_pt += (np.arange(nb) + P).tolist()
+        b_obs += (pc + rng.normal(0, 0.01, pc.shape)).tolist()
+    Eb = len(b_cam)
+    bird = ba.EdgeSet(
+        jnp.asarray(np.array(b_cam, np.int32)),
+        jnp.asarray(np.array(b_pt, np.int32)),
+        jnp.asarray(np.array(b_obs, np.float32)),
+        jnp.full(Eb, 3.0 / 0.01**2),
+        jnp.ones(Eb, bool),
+    )
+    pert = jnp.asarray(rng.normal(0, 0.01, (C, 6)).astype(np.float32)).at[0].set(0.0)
+    Rp, tp = jax.vmap(lie.se3_update_left)(cam_R, cam_t, pert)
+    fixed = jnp.zeros(C, bool).at[0].set(True)
+    Pall = pts.shape[0]
+    res = ba.bundle_adjust(
+        Rp, tp, fixed, jnp.ones(C, bool),
+        pts + jnp.asarray(rng.normal(0, 0.03, (Pall, 3)).astype(np.float32)),
+        jnp.ones(Pall, bool),
+        None, stereo, bird, FX, FY, CX, CY, bf=BF,
+    )
+    for c in range(1, C):
+        err_t = np.linalg.norm(np.asarray(res.cam_t[c] - cam_t[c]))
+        assert err_t < 1e-2, (c, err_t)
+    # bird landmarks recovered to metric accuracy
+    berr = np.linalg.norm(np.asarray(res.points[P:]) - Xb, axis=1)
+    assert np.median(berr) < 2e-2
