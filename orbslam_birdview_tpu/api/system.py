@@ -1,0 +1,162 @@
+"""System facade — the public API, mirroring the reference's `System` class
+surface (`/root/reference/include/System.h:63-133`): per-frame entry points
+for every sensor mode, localization-mode switch, reset, trajectory savers in
+TUM/KITTI/odometry formats, state queries. Single-process, explicitly
+scheduled (no threads — SURVEY §2.3/§7 design stance).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..core import lie
+from ..mapping.mapstore import INVALID, MapStore
+from ..pipeline.local_mapping import LocalMapper
+from ..pipeline.tracking import LOST, NOT_INITIALIZED, OK, Tracker
+from .config import SlamConfig
+
+
+class System:
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.store = MapStore(max_kf=cfg.max_keyframes)
+        self.mapper = LocalMapper(cfg, self.store)
+        self.tracker = Tracker(cfg, self.store, self.mapper)
+        self.localization_only = False
+
+    # ------------------------------------------------------------------
+    # per-frame entry points (System::Track*, src/System.cc:129-335)
+    # ------------------------------------------------------------------
+    def track_monocular(self, img, timestamp: float):
+        fd = self._track(img, timestamp)
+        return fd
+
+    def track_monocular_with_birdview(self, img, bird_img, bird_mask,
+                                      timestamp: float):
+        fd = self._track(img, timestamp, bird_img=bird_img,
+                         bird_mask=bird_mask)
+        return fd
+
+    def track_rgbd(self, img, depth, timestamp: float):
+        fd = self._track(img, timestamp, depth_img=depth)
+        return fd
+
+    def track_stereo(self, img_left, img_right, timestamp: float):
+        """Stereo: right image is used to compute per-keypoint disparity
+        depth via the row matcher, then tracking proceeds as depth-assisted."""
+        from ..frontend.stereo import stereo_depth_for_frame
+
+        depth = stereo_depth_for_frame(img_left, img_right, self.cfg)
+        fd = self._track(img_left, timestamp, depth_img=depth)
+        return fd
+
+    def _track(self, img, timestamp, **kw):
+        self.tracker.only_tracking = self.localization_only
+        return self.tracker.process(np.asarray(img), timestamp, **kw)
+
+    # ------------------------------------------------------------------
+    # mode switches (System.h:84-90)
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+
+    def reset(self):
+        cfg = self.cfg
+        self.store = MapStore(max_kf=cfg.max_keyframes)
+        self.mapper = LocalMapper(cfg, self.store)
+        self.tracker = Tracker(cfg, self.store, self.mapper)
+
+    def shutdown(self):
+        pass  # no threads to join — kept for API parity
+
+    # ------------------------------------------------------------------
+    # state queries
+    # ------------------------------------------------------------------
+    def get_tracking_state(self) -> int:
+        return self.tracker.state
+
+    def map_changed(self) -> int:
+        return self.store.big_change_idx
+
+    def n_map_points(self) -> int:
+        return int(self.store.mp_valid.sum())
+
+    def n_keyframes(self) -> int:
+        return int(self.store.kf_valid.sum())
+
+    # ------------------------------------------------------------------
+    # trajectory export (System.cc:389-584)
+    # ------------------------------------------------------------------
+    def _frame_poses(self):
+        """Recover per-frame poses as Tcw = T_rel · Tcw_refkf with the
+        *current* (optimized) keyframe poses (`SaveTrajectoryTUM`)."""
+        store = self.store
+        out = []
+        for e in self.tracker.trajectory:
+            if e.lost:
+                out.append((e.timestamp, None))
+                continue
+            ref = e.ref_kf
+            T_ref = np.eye(4, dtype=np.float32)
+            T_ref[:3, :3] = store.kf_R[ref]
+            T_ref[:3, 3] = store.kf_t[ref]
+            out.append((e.timestamp, e.T_rel @ T_ref))
+        return out
+
+    @staticmethod
+    def _tum_line(ts, Twc):
+        import jax.numpy as jnp
+
+        q = np.asarray(lie.rot_to_quat(jnp.asarray(Twc[:3, :3])))
+        t = Twc[:3, 3]
+        # TUM: tx ty tz qx qy qz qw
+        return (f"{ts:.6f} {t[0]:.7f} {t[1]:.7f} {t[2]:.7f} "
+                f"{q[1]:.7f} {q[2]:.7f} {q[3]:.7f} {q[0]:.7f}")
+
+    def save_trajectory_tum(self, path: str):
+        with open(path, "w") as f:
+            for ts, Tcw in self._frame_poses():
+                if Tcw is None:
+                    continue
+                Twc = np.linalg.inv(Tcw)
+                f.write(self._tum_line(ts, Twc) + "\n")
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        store = self.store
+        with open(path, "w") as f:
+            for kf in store.valid_kf_ids():
+                Tcw = np.eye(4, dtype=np.float32)
+                Tcw[:3, :3] = store.kf_R[kf]
+                Tcw[:3, 3] = store.kf_t[kf]
+                f.write(self._tum_line(store.kf_timestamp[kf],
+                                       np.linalg.inv(Tcw)) + "\n")
+
+    def save_keyframe_trajectory_odom_tum(self, path: str):
+        """Fork-added saver expressing keyframe poses in the vehicle base
+        frame: Twb = Twc · Tcb (`SaveKeyFrameTrajectoryOdomTUM`,
+        src/System.cc:542-584)."""
+        store = self.store
+        tr = self.tracker
+        Tcb = np.eye(4, dtype=np.float32)
+        Tcb[:3, :3] = tr.R_cb
+        Tcb[:3, 3] = tr.t_cb
+        with open(path, "w") as f:
+            for kf in store.valid_kf_ids():
+                Tcw = np.eye(4, dtype=np.float32)
+                Tcw[:3, :3] = store.kf_R[kf]
+                Tcw[:3, 3] = store.kf_t[kf]
+                Twb = np.linalg.inv(Tcw) @ Tcb
+                f.write(self._tum_line(store.kf_timestamp[kf], Twb) + "\n")
+
+    def save_trajectory_kitti(self, path: str):
+        with open(path, "w") as f:
+            for ts, Tcw in self._frame_poses():
+                if Tcw is None:
+                    continue
+                Twc = np.linalg.inv(Tcw)
+                row = Twc[:3, :4].reshape(-1)
+                f.write(" ".join(f"{v:.9e}" for v in row) + "\n")

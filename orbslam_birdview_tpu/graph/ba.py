@@ -173,6 +173,14 @@ def _schur_solve(Hcc, bc, Hpp, bp, W, lam, cam_free, pt_free, C, P):
     return dxc.reshape(C, 6), dxp
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fx", "fy", "cx", "cy", "bf", "iters_phase1",
+                     "iters_phase2", "reclassify"),
+)
 def bundle_adjust(
     cam_R,
     cam_t,

@@ -68,6 +68,13 @@ def _chi2_only(R, t, Xw, obs, info, fx, fy, cx, cy, Xw_b, obs_b, info_b):
     return chi2, chi2_b
 
 
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fx", "fy", "cx", "cy", "rounds", "iters_per_round"),
+)
 def optimize_pose(
     R0,
     t0,

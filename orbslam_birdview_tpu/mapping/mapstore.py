@@ -1,0 +1,337 @@
+"""Fixed-capacity SLAM map store.
+
+Re-designs the reference's mutex-guarded object graph (`src/Map.cc`,
+`src/KeyFrame.cc`, `src/MapPoint.cc`, `src/MapPointBird.cc`) as flat
+fixed-capacity arrays with validity masks — no pointers, no locks. The store
+lives on host (numpy) because map bookkeeping is control-flow heavy and
+cheap; every hot computation (matching, pose opt, BA) extracts padded device
+tensors from it.
+
+Design deltas vs the reference, deliberate:
+- Observations are stored as the keypoint→landmark index map per keyframe
+  (`kp_mp`), the inverse of MapPoint::mObservations — O(1) scatter/gather,
+  and exactly what BA edge extraction needs.
+- KeyFrames store their BEV descriptors (the reference forgot to, reading
+  front-camera descriptors at BEV indices — `src/MapPointBird.cc:111`,
+  noted in SURVEY §2.1; we fix it).
+- Covisibility weights are maintained incrementally as a dense (kf,kf)
+  count matrix instead of per-object sorted neighbor lists
+  (`KeyFrame::UpdateConnections`, `src/KeyFrame.cc:304-394`).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+INVALID = -1
+
+
+def _popcount_u8(x):
+    # vectorized popcount via lookup table
+    return _POP_LUT[x]
+
+
+_POP_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.int32)
+
+
+def hamming_np(a_u8, b_u8):
+    """(Na,32) x (Nb,32) -> (Na,Nb) hamming distances, numpy host path."""
+    x = np.bitwise_xor(a_u8[:, None, :], b_u8[None, :, :])
+    return _popcount_u8(x).sum(-1)
+
+
+@dataclass
+class MapStore:
+    max_kf: int = 256
+    max_mp: int = 40000
+    max_bmp: int = 20000
+    kp_cap: int = 1024       # keypoint capacity per keyframe
+    bird_cap: int = 1024
+
+    def __post_init__(self):
+        K, P, B, C, CB = self.max_kf, self.max_mp, self.max_bmp, self.kp_cap, self.bird_cap
+        # keyframes
+        self.kf_R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        self.kf_t = np.zeros((K, 3), np.float32)
+        self.kf_valid = np.zeros(K, bool)
+        self.kf_frame_id = np.full(K, INVALID, np.int64)
+        self.kf_timestamp = np.zeros(K, np.float64)
+        # per-KF front features
+        self.kf_kp_xy = np.zeros((K, C, 2), np.float32)
+        self.kf_kp_octave = np.zeros((K, C), np.int32)
+        self.kf_kp_angle = np.zeros((K, C), np.float32)
+        self.kf_kp_valid = np.zeros((K, C), bool)
+        self.kf_desc = np.zeros((K, C, 32), np.uint8)
+        self.kf_kp_mp = np.full((K, C), INVALID, np.int64)
+        self.kf_kp_depth = np.full((K, C), -1.0, np.float32)   # stereo/RGBD
+        self.kf_kp_ur = np.full((K, C), -1.0, np.float32)      # right-cam u
+        # per-KF BEV features
+        self.kf_bird_xy = np.zeros((K, CB, 2), np.float32)     # BEV pixels
+        self.kf_bird_base = np.zeros((K, CB, 3), np.float32)   # base-frame XY0
+        self.kf_bird_valid = np.zeros((K, CB), bool)
+        self.kf_bird_desc = np.zeros((K, CB, 32), np.uint8)
+        self.kf_bird_mp = np.full((K, CB), INVALID, np.int64)
+        # map points (front)
+        self.mp_pos = np.zeros((P, 3), np.float32)
+        self.mp_valid = np.zeros(P, bool)
+        self.mp_desc = np.zeros((P, 32), np.uint8)
+        self.mp_normal = np.zeros((P, 3), np.float32)
+        self.mp_min_dist = np.zeros(P, np.float32)
+        self.mp_max_dist = np.zeros(P, np.float32)
+        self.mp_ref_kf = np.full(P, INVALID, np.int64)
+        self.mp_first_kf_id = np.full(P, INVALID, np.int64)
+        self.mp_n_obs = np.zeros(P, np.int32)
+        self.mp_visible = np.zeros(P, np.int32)
+        self.mp_found = np.zeros(P, np.int32)
+        # bird map points
+        self.bmp_pos = np.zeros((B, 3), np.float32)
+        self.bmp_valid = np.zeros(B, bool)
+        self.bmp_desc = np.zeros((B, 32), np.uint8)
+        self.bmp_n_obs = np.zeros(B, np.int32)
+        self.bmp_first_kf_id = np.full(B, INVALID, np.int64)
+        # covisibility counts (shared map points between KF pairs)
+        self.covis = np.zeros((K, K), np.int32)
+        # spanning tree: parent kf
+        self.kf_parent = np.full(K, INVALID, np.int64)
+        # loop edges
+        self.loop_edges: list[tuple[int, int]] = field(default_factory=list) if False else []
+        self.n_kf = 0
+        self.n_mp = 0
+        self.n_bmp = 0
+        self.big_change_idx = 0
+
+    # ------------------------------------------------------------------
+    # allocation
+    # ------------------------------------------------------------------
+    def alloc_keyframe(self, R, t, frame_id, timestamp, kp, bird=None,
+                       kp_depth=None, kp_ur=None) -> int:
+        """kp: frontend Keypoints (numpy-convertible). Returns kf index."""
+        i = self.n_kf
+        assert i < self.max_kf, "keyframe capacity exceeded"
+        self.n_kf += 1
+        self.kf_valid[i] = True
+        self.kf_R[i] = np.asarray(R)
+        self.kf_t[i] = np.asarray(t)
+        self.kf_frame_id[i] = frame_id
+        self.kf_timestamp[i] = timestamp
+        n = min(kp.xy.shape[0], self.kp_cap)
+        self.kf_kp_xy[i, :n] = np.asarray(kp.xy)[:n]
+        self.kf_kp_octave[i, :n] = np.asarray(kp.octave)[:n]
+        self.kf_kp_angle[i, :n] = np.asarray(kp.angle)[:n]
+        self.kf_kp_valid[i, :n] = np.asarray(kp.valid)[:n]
+        self.kf_desc[i, :n] = np.asarray(kp.desc_u8)[:n]
+        if kp_depth is not None:
+            self.kf_kp_depth[i, :n] = np.asarray(kp_depth)[:n]
+        if kp_ur is not None:
+            self.kf_kp_ur[i, :n] = np.asarray(kp_ur)[:n]
+        if bird is not None:
+            bkp, base_xyz = bird
+            m = min(bkp.xy.shape[0], self.bird_cap)
+            self.kf_bird_xy[i, :m] = np.asarray(bkp.xy)[:m]
+            self.kf_bird_valid[i, :m] = np.asarray(bkp.valid)[:m]
+            self.kf_bird_desc[i, :m] = np.asarray(bkp.desc_u8)[:m]
+            self.kf_bird_base[i, :m] = np.asarray(base_xyz)[:m]
+        return i
+
+    def alloc_points(self, positions, descriptors, ref_kf: int, first_kf_id: int):
+        """Allocate len(positions) map points; returns their indices."""
+        k = len(positions)
+        ids = np.arange(self.n_mp, self.n_mp + k)
+        assert ids[-1] < self.max_mp if k else True, "map point capacity exceeded"
+        self.n_mp += k
+        self.mp_pos[ids] = positions
+        self.mp_valid[ids] = True
+        self.mp_desc[ids] = descriptors
+        self.mp_ref_kf[ids] = ref_kf
+        self.mp_first_kf_id[ids] = first_kf_id
+        return ids
+
+    def alloc_bird_points(self, positions, descriptors, first_kf_id: int):
+        k = len(positions)
+        ids = np.arange(self.n_bmp, self.n_bmp + k)
+        assert ids[-1] < self.max_bmp if k else True, "bird point capacity exceeded"
+        self.n_bmp += k
+        self.bmp_pos[ids] = positions
+        self.bmp_valid[ids] = True
+        self.bmp_desc[ids] = descriptors
+        self.bmp_first_kf_id[ids] = first_kf_id
+        return ids
+
+    # ------------------------------------------------------------------
+    # observations + covisibility
+    # ------------------------------------------------------------------
+    def add_observations(self, kf: int, kp_idx, mp_ids):
+        """Associate keypoints of keyframe kf with map points (arrays)."""
+        kp_idx = np.asarray(kp_idx)
+        mp_ids = np.asarray(mp_ids)
+        if kp_idx.size == 0:
+            return
+        old = self.kf_kp_mp[kf, kp_idx]
+        self.kf_kp_mp[kf, kp_idx] = mp_ids
+        # update obs counts
+        np.add.at(self.mp_n_obs, mp_ids, 1)
+        dec = old[old >= 0]
+        np.add.at(self.mp_n_obs, dec, -1)
+
+    def add_bird_observations(self, kf: int, kp_idx, bmp_ids):
+        kp_idx = np.asarray(kp_idx)
+        bmp_ids = np.asarray(bmp_ids)
+        if kp_idx.size == 0:
+            return
+        old = self.kf_bird_mp[kf, kp_idx]
+        self.kf_bird_mp[kf, kp_idx] = bmp_ids
+        np.add.at(self.bmp_n_obs, bmp_ids, 1)
+        dec = old[old >= 0]
+        np.add.at(self.bmp_n_obs, dec, -1)
+
+    def remove_observation(self, kf: int, kp_idx):
+        mp = self.kf_kp_mp[kf, kp_idx]
+        ok = mp >= 0
+        np.add.at(self.mp_n_obs, mp[ok], -1)
+        self.kf_kp_mp[kf, kp_idx] = INVALID
+
+    def update_covisibility(self, kf: int):
+        """Recompute covisibility counts between kf and all other KFs
+        (`KeyFrame::UpdateConnections`) and the spanning-tree parent."""
+        mp = self.kf_kp_mp[kf]
+        mp = mp[mp >= 0]
+        if mp.size == 0:
+            return
+        member = np.zeros(self.max_mp, bool)
+        member[mp] = True
+        shared = (member[self.kf_kp_mp[: self.n_kf].clip(0)]
+                  & (self.kf_kp_mp[: self.n_kf] >= 0)).sum(axis=1)
+        shared[kf] = 0
+        self.covis[kf, : self.n_kf] = shared
+        self.covis[: self.n_kf, kf] = shared
+        if self.kf_parent[kf] == INVALID and shared.max(initial=0) > 0:
+            self.kf_parent[kf] = int(np.argmax(shared))
+
+    def covisible_kfs(self, kf: int, min_weight: int = 15, top_n: Optional[int] = None):
+        w = self.covis[kf, : self.n_kf].copy()
+        w[~self.kf_valid[: self.n_kf]] = 0
+        ids = np.nonzero(w >= min_weight)[0]
+        order = np.argsort(-w[ids], kind="stable")
+        ids = ids[order]
+        if top_n is not None:
+            ids = ids[:top_n]
+        return ids
+
+    # ------------------------------------------------------------------
+    # landmark statistics (distinctive descriptor, normal, scale band)
+    # ------------------------------------------------------------------
+    def observations_of(self, mp_id: int):
+        """Return (kf_ids, kp_idx) observing map point mp_id."""
+        kfs, kps = np.nonzero(self.kf_kp_mp[: self.n_kf] == mp_id)
+        return kfs, kps
+
+    def update_point_stats(self, mp_ids, scale_factors):
+        """Distinctive descriptor (min-median hamming,
+        `MapPoint::ComputeDistinctiveDescriptors` `src/MapPoint.cc:242-307`)
+        + viewing normal and scale-invariance band
+        (`UpdateNormalAndDepth` `:330-371`)."""
+        obs_map = self.kf_kp_mp[: self.n_kf]
+        for mp_id in np.atleast_1d(mp_ids):
+            kfs, kps = np.nonzero(obs_map == mp_id)
+            if kfs.size == 0:
+                continue
+            descs = self.kf_desc[kfs, kps]
+            if descs.shape[0] > 1:
+                d = hamming_np(descs, descs)
+                med = np.median(d, axis=1)
+                self.mp_desc[mp_id] = descs[np.argmin(med)]
+            else:
+                self.mp_desc[mp_id] = descs[0]
+            # normal: mean unit vector from KF centers to point
+            centers = -np.einsum("nji,nj->ni", self.kf_R[kfs], self.kf_t[kfs])
+            v = self.mp_pos[mp_id][None] - centers
+            nrm = np.linalg.norm(v, axis=1, keepdims=True)
+            v = v / np.maximum(nrm, 1e-9)
+            self.mp_normal[mp_id] = v.mean(0) / max(np.linalg.norm(v.mean(0)), 1e-9)
+            # scale band from the reference keyframe observation
+            ref = self.mp_ref_kf[mp_id]
+            if ref in kfs:
+                j = kps[list(kfs).index(ref)]
+            else:
+                ref, j = kfs[0], kps[0]
+            dist = np.linalg.norm(
+                self.mp_pos[mp_id] + np.einsum("ji,j->i", self.kf_R[ref], self.kf_t[ref])
+            )
+            octave = self.kf_kp_octave[ref, j]
+            sf = scale_factors[octave]
+            n_levels = len(scale_factors)
+            self.mp_max_dist[mp_id] = dist * sf
+            self.mp_min_dist[mp_id] = dist * sf / scale_factors[n_levels - 1]
+
+    def update_bird_point_desc(self, bmp_ids):
+        obs_map = self.kf_bird_mp[: self.n_kf]
+        for b in np.atleast_1d(bmp_ids):
+            kfs, kps = np.nonzero(obs_map == b)
+            if kfs.size == 0:
+                continue
+            descs = self.kf_bird_desc[kfs, kps]
+            if descs.shape[0] > 1:
+                d = hamming_np(descs, descs)
+                self.bmp_desc[b] = descs[np.argmin(np.median(d, axis=1))]
+            else:
+                self.bmp_desc[b] = descs[0]
+
+    # ------------------------------------------------------------------
+    # culling / deletion
+    # ------------------------------------------------------------------
+    def erase_point(self, mp_id: int):
+        self.mp_valid[mp_id] = False
+        kfs, kps = self.observations_of(mp_id)
+        self.kf_kp_mp[kfs, kps] = INVALID
+        self.mp_n_obs[mp_id] = 0
+
+    def erase_bird_point(self, b: int):
+        self.bmp_valid[b] = False
+        kfs, kps = np.nonzero(self.kf_bird_mp[: self.n_kf] == b)
+        self.kf_bird_mp[kfs, kps] = INVALID
+        self.bmp_n_obs[b] = 0
+
+    def replace_point(self, old_id: int, new_id: int):
+        """MapPoint::Replace — forward observations of old to new."""
+        kfs, kps = self.observations_of(old_id)
+        for kf, kp in zip(kfs, kps):
+            if new_id in self.kf_kp_mp[kf]:
+                self.kf_kp_mp[kf, kp] = INVALID
+            else:
+                self.kf_kp_mp[kf, kp] = new_id
+                self.mp_n_obs[new_id] += 1
+        self.mp_found[new_id] += self.mp_found[old_id]
+        self.mp_visible[new_id] += self.mp_visible[old_id]
+        self.mp_valid[old_id] = False
+        self.mp_n_obs[old_id] = 0
+
+    def erase_keyframe(self, kf: int):
+        """KeyFrame::SetBadFlag — drop observations, reparent children."""
+        kp_idx = np.nonzero(self.kf_kp_mp[kf] >= 0)[0]
+        self.remove_observation(kf, kp_idx)
+        bidx = np.nonzero(self.kf_bird_mp[kf] >= 0)[0]
+        bmp = self.kf_bird_mp[kf, bidx]
+        np.add.at(self.bmp_n_obs, bmp, -1)
+        self.kf_bird_mp[kf, bidx] = INVALID
+        self.kf_valid[kf] = False
+        self.covis[kf, :] = 0
+        self.covis[:, kf] = 0
+        children = np.nonzero(self.kf_parent[: self.n_kf] == kf)[0]
+        self.kf_parent[children] = self.kf_parent[kf]
+
+    # ------------------------------------------------------------------
+    # queries
+    # ------------------------------------------------------------------
+    def kf_center(self, kf):
+        return -np.einsum("ji,j->i", self.kf_R[kf], self.kf_t[kf])
+
+    def valid_kf_ids(self):
+        return np.nonzero(self.kf_valid[: self.n_kf])[0]
+
+    def valid_mp_ids(self):
+        return np.nonzero(self.mp_valid[: self.n_mp])[0]
+
+    def valid_bmp_ids(self):
+        return np.nonzero(self.bmp_valid[: self.n_bmp])[0]

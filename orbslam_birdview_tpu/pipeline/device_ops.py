@@ -1,0 +1,171 @@
+"""Jitted device kernels shared by the tracking/mapping pipeline stages.
+
+Each op is fixed-shape (padded + masked) so it compiles once per
+configuration and never re-traces during a run. These replace the per-object
+serial loops of `Tracking.cc` / `LocalMapping.cc` with whole-frame tensor
+ops.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..frontend import matcher
+from ..frontend.keypoints import unpack_bits_to_pm1
+
+
+@jax.jit
+def project_points(R, t, pos, fx, fy, cx, cy, width, height):
+    """World points -> (uv, depth, in_front_and_in_image)."""
+    Xc = pos @ R.T + t
+    z = Xc[:, 2]
+    zi = 1.0 / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    u = fx * Xc[:, 0] * zi + cx
+    v = fy * Xc[:, 1] * zi + cy
+    uv = jnp.stack([u, v], -1)
+    ok = (z > 0.05) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+    return uv, z, ok
+
+
+@jax.jit
+def frustum_gate(R, t, pos, normal, min_dist, max_dist, valid,
+                 fx, fy, cx, cy, width, height, n_levels, log_scale):
+    """Full `Frame::isInFrustum` (src/Frame.cc:436-492): image bounds, scale
+    band, viewing angle; predicts octave + search radius factor."""
+    uv, z, in_img = project_points(R, t, pos, fx, fy, cx, cy, width, height)
+    center = -R.T @ t
+    po = pos - center[None]
+    dist = jnp.linalg.norm(po, axis=-1)
+    band = (dist >= min_dist * 0.8) & (dist <= max_dist * 1.2)
+    view_cos = jnp.sum(po * normal, -1) / jnp.maximum(dist, 1e-9)
+    angle_ok = view_cos > 0.5
+    ratio = jnp.maximum(max_dist, 1e-9) / jnp.maximum(dist, 1e-9)
+    pred_octave = jnp.clip(
+        jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-9)) / log_scale).astype(jnp.int32),
+        0, n_levels - 1,
+    )
+    radius_factor = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    ok = in_img & band & angle_ok & valid
+    return uv, pred_octave, radius_factor, ok
+
+
+@functools.partial(jax.jit, static_argnames=("max_dist_th",))
+def match_projected(
+    proj_uv, pt_ok, pt_desc_u8, kp_xy, kp_octave, kp_valid, kp_desc_pm1,
+    radius, pred_octave, max_dist_th: int = matcher.TH_HIGH,
+):
+    pt_pm1 = unpack_bits_to_pm1(pt_desc_u8)
+    idx, dist = matcher.search_by_projection(
+        proj_uv, pt_ok, pt_pm1, kp_xy, kp_octave, kp_valid, kp_desc_pm1,
+        radius, pred_octave, max_dist=max_dist_th,
+    )
+    idx = matcher.resolve_duplicate_targets(idx, dist)
+    return idx, dist
+
+
+@jax.jit
+def match_frames_window(xy_a, desc_a_pm1, valid_a, xy_b, desc_b_pm1, valid_b,
+                        radius):
+    dist = matcher.hamming_matrix(desc_a_pm1, desc_b_pm1, valid_a, valid_b)
+    idx, d = matcher.match_window(xy_a, xy_b, dist, radius,
+                                  max_dist=matcher.TH_LOW, ratio=0.9)
+    return idx, d
+
+
+@functools.partial(jax.jit, static_argnames=("n_bins_keep",))
+def match_frames_window_rot(xy_a, ang_a, desc_a_pm1, valid_a,
+                            xy_b, ang_b, desc_b_pm1, valid_b, radius,
+                            n_bins_keep: int = 3):
+    idx, d = match_frames_window(xy_a, desc_a_pm1, valid_a, xy_b,
+                                 desc_b_pm1, valid_b, radius)
+    m = idx >= 0
+    keep = matcher.rotation_consistency_mask(ang_a, ang_b,
+                                             jnp.where(m, idx, 0), m)
+    return jnp.where(keep, idx, -1), d
+
+
+@jax.jit
+def epipolar_triangulate(
+    R1, t1, R2, t2, K,
+    kp1_xy, kp1_octave, kp1_free, desc1_pm1,
+    kp2_xy, kp2_octave, kp2_free, desc2_pm1,
+    level_sigma2,
+):
+    """`LocalMapping::CreateNewMapPoints` inner loop
+    (`src/LocalMapping.cc:217-462` + `ORBmatcher::SearchForTriangulation`
+    `ORBmatcher.cc:657-823`) as one dense masked op.
+
+    Matches unassociated keypoints of KF1 against KF2 under the epipolar
+    constraint, triangulates, and applies the acceptance gates
+    (cheirality, parallax, reprojection, scale consistency).
+    Returns (idx2 (K1,), points (K1,3), ok (K1,)).
+    """
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    # fundamental from relative pose: F12 = K^-T [t]x R K^-1 with T12 = T1 T2^-1
+    R12 = R1 @ R2.T
+    t12 = t1 - R12 @ t2
+    E = lie.hat(t12) @ R12
+    Kinv = jnp.linalg.inv(K)
+    F12 = Kinv.T @ E @ Kinv
+
+    dist = matcher.hamming_matrix(desc1_pm1, desc2_pm1, kp1_free, kp2_free)
+    # epipolar distance of kp2 to line F12^T x1
+    ones1 = jnp.ones((kp1_xy.shape[0], 1), kp1_xy.dtype)
+    x1h = jnp.concatenate([kp1_xy, ones1], -1)
+    lines = x1h @ F12  # (K1,3): line in image 2
+    num = (lines[:, None, 0] * kp2_xy[None, :, 0]
+           + lines[:, None, 1] * kp2_xy[None, :, 1] + lines[:, None, 2])
+    den = jnp.maximum(lines[:, 0] ** 2 + lines[:, 1] ** 2, 1e-12)[:, None]
+    d2 = num * num / den
+    sig2 = level_sigma2[kp2_octave][None, :]
+    epi_ok = d2 < 3.84 * sig2
+    dist = jnp.where(epi_ok, dist, matcher.BIG_DIST)
+    idx2, best = matcher.match_mutual(dist, max_dist=matcher.TH_LOW, ratio=0.9)
+    m = idx2 >= 0
+    i2 = jnp.where(m, idx2, 0)
+
+    # triangulate
+    P1 = K @ jnp.concatenate([R1, t1[:, None]], 1)
+    P2 = K @ jnp.concatenate([R2, t2[:, None]], 1)
+    from ..solvers.twoview import triangulate_dlt
+
+    X = triangulate_dlt(P1, P2, kp1_xy, kp2_xy[i2])
+    finite = jnp.all(jnp.isfinite(X), -1)
+
+    # gates
+    c1 = -R1.T @ t1
+    c2 = -R2.T @ t2
+    r1 = X - c1[None]
+    r2 = X - c2[None]
+    cos_par = jnp.sum(r1 * r2, -1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-12)
+    z1 = (X @ R1.T + t1)[:, 2]
+    z2 = (X @ R2.T + t2)[:, 2]
+
+    def reproj2(R, t, X, xy, sig2):
+        Xc = X @ R.T + t
+        zi = 1.0 / jnp.maximum(Xc[:, 2], 1e-9)
+        u = fx * Xc[:, 0] * zi + cx
+        v = fy * Xc[:, 1] * zi + cy
+        e2 = (u - xy[:, 0]) ** 2 + (v - xy[:, 1]) ** 2
+        return e2 / jnp.maximum(sig2, 1e-12)
+
+    e1 = reproj2(R1, t1, X, kp1_xy, level_sigma2[kp1_octave])
+    e2 = reproj2(R2, t2, X, kp2_xy[i2], level_sigma2[kp2_octave[i2]])
+    d1 = jnp.linalg.norm(r1, axis=-1)
+    d2n = jnp.linalg.norm(r2, axis=-1)
+    ratio_dist = d1 / jnp.maximum(d2n, 1e-9)
+    ratio_octave = jnp.sqrt(level_sigma2[kp1_octave] /
+                            jnp.maximum(level_sigma2[kp2_octave[i2]], 1e-12))
+    scale_ok = (ratio_dist < ratio_octave * 1.5) & (ratio_dist * 1.5 > ratio_octave)
+    ok = (m & finite & (cos_par < 0.9998) & (cos_par > 0)
+          & (z1 > 0) & (z2 > 0) & (e1 < 5.991) & (e2 < 5.991) & scale_ok)
+    return idx2, X, ok
+
+
+@jax.jit
+def transform_points(R, t, pts):
+    return pts @ R.T + t

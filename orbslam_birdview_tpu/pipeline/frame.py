@@ -1,0 +1,39 @@
+"""Per-frame working record (host-side), the analogue of the reference's
+`Frame` (`/root/reference/src/Frame.cc`) minus the heavy compute (which lives
+in frontend/ as device kernels)."""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..frontend.keypoints import Keypoints
+
+
+@dataclass
+class FrameData:
+    frame_id: int
+    timestamp: float
+    kp: Keypoints                    # device arrays (padded)
+    R: np.ndarray                    # Tcw rotation (3,3)
+    t: np.ndarray                    # Tcw translation (3,)
+    kp_mp: np.ndarray                # (K,) int64 map-point id per keypoint or -1
+    # stereo / RGB-D
+    kp_depth: Optional[np.ndarray] = None   # (K,) depth or -1
+    kp_ur: Optional[np.ndarray] = None      # (K,) right-image u or -1
+    # birdview stream
+    bird_kp: Optional[Keypoints] = None
+    bird_base_xyz: Optional[np.ndarray] = None  # (Kb,3) vehicle-base-frame pts
+    bird_mp: Optional[np.ndarray] = None        # (Kb,) bird landmark ids
+    pose_ok: bool = False
+
+    @property
+    def n_kp(self) -> int:
+        return int(np.asarray(self.kp.valid).sum())
+
+    def Tcw(self):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = self.R
+        T[:3, 3] = self.t
+        return T

@@ -1,0 +1,732 @@
+"""Tracking front-end: the per-frame state machine.
+
+Re-designs `/root/reference/src/Tracking.cc` (2.3k LoC of serial loops) as a
+host-side state machine driving fixed-shape device kernels:
+
+- states {NOT_INITIALIZED, OK, LOST} (`include/Tracking.h:86-92`)
+- motion-model tracking → reference-KF fallback → relocalization
+  (`Tracking::Track`, `src/Tracking.cc:379-635`)
+- local-map tracking with frustum gating (`TrackLocalMap`, `:1327-1421`)
+- keyframe policy (`NeedNewKeyFrame`, `:1424-1510`)
+- birdview stream: landmark retrieval/creation (`MatchAndRetriveBirdMP`,
+  `:2153-2208`), BEV edges in every pose optimization, front+bird inlier
+  gates (`:1411-1418`)
+
+The reference's LocalMapping thread is invoked synchronously per keyframe
+(pipeline stage instead of mutex-guarded thread, SURVEY §7 design stance).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..api.config import SlamConfig
+from ..core import lie
+from ..frontend import matcher, orb
+from ..frontend.keypoints import unpack_bits_to_pm1
+from ..mapping.mapstore import INVALID, MapStore
+from ..graph import pose_opt
+from ..solvers import initializer, pnp
+from . import device_ops
+from .frame import FrameData
+
+NOT_INITIALIZED = 0
+OK = 1
+LOST = 2
+
+
+@dataclass
+class TrajectoryEntry:
+    timestamp: float
+    ref_kf: int
+    T_rel: np.ndarray  # Tcw_frame * Twc_refkf (4x4)
+    lost: bool
+
+
+class Tracker:
+    def __init__(self, cfg: SlamConfig, store: MapStore, mapper=None):
+        self.cfg = cfg
+        self.store = store
+        self.mapper = mapper
+        self.state = NOT_INITIALIZED
+        self.last_frame: Optional[FrameData] = None
+        self.init_ref: Optional[FrameData] = None
+        self.init_matches: Optional[np.ndarray] = None
+        self.velocity: Optional[np.ndarray] = None  # 4x4 relative Tcl
+        self.ref_kf: int = INVALID
+        self.last_kf_frame_id = -(10 ** 9)
+        self.last_reloc_frame_id = -(10 ** 9)
+        self.frame_id = 0
+        self.trajectory: list[TrajectoryEntry] = []
+        self.rng_key = jax.random.PRNGKey(0)
+        # localization-only mode (`Tracking::InformOnlyTracking`): track
+        # against the frozen map, never insert keyframes
+        self.only_tracking = False
+
+        n_lv = cfg.orb.n_levels
+        self.level_sigma2 = np.array(
+            [cfg.orb.scale_factor ** (2 * l) for l in range(n_lv)], np.float32
+        )
+        self.scale_factors = np.array(
+            [cfg.orb.scale_factor ** l for l in range(n_lv)], np.float32
+        )
+        self.log_scale = float(np.log(cfg.orb.scale_factor))
+        # camera→base extrinsics for the BEV stream
+        from ..core.camera import camera_to_base_extrinsics
+
+        R_bc, t_bc = camera_to_base_extrinsics(cfg.tbc_quat, cfg.tbc_t)
+        self.R_bc = np.asarray(R_bc)
+        self.t_bc = np.asarray(t_bc)
+        self.R_cb = self.R_bc.T
+        self.t_cb = -self.R_bc.T @ self.t_bc
+        self._n_last_inliers = 0
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self.rng_key, k = jax.random.split(self.rng_key)
+        return k
+
+    def make_frame(self, img, timestamp, bird_img=None, bird_mask=None,
+                   depth_img=None) -> FrameData:
+        kp = orb.extract_orb(jnp.asarray(img, jnp.float32), self.cfg.orb)
+        K = kp.capacity
+        fd = FrameData(
+            frame_id=self.frame_id,
+            timestamp=timestamp,
+            kp=kp,
+            R=np.eye(3, dtype=np.float32),
+            t=np.zeros(3, np.float32),
+            kp_mp=np.full(K, INVALID, np.int64),
+        )
+        if depth_img is not None:
+            xy = np.asarray(kp.xy)
+            xi = np.clip(xy[:, 0].astype(int), 0, depth_img.shape[1] - 1)
+            yi = np.clip(xy[:, 1].astype(int), 0, depth_img.shape[0] - 1)
+            d = depth_img[yi, xi].astype(np.float32)
+            d[~np.asarray(kp.valid)] = -1.0
+            d[d <= 0] = -1.0
+            fd.kp_depth = d
+            cam = self.cfg.camera
+            with np.errstate(divide="ignore"):
+                ur = np.where(d > 0, xy[:, 0] - cam.bf / np.maximum(d, 1e-9), -1.0)
+            fd.kp_ur = ur.astype(np.float32)
+        if bird_img is not None:
+            bcfg = self.cfg.bird_orb or orb.ORBConfig(
+                n_features=self.cfg.orb.n_features, n_levels=4)
+            mask = None
+            if bird_mask is not None:
+                mask = jnp.asarray(bird_mask, jnp.float32)
+            bkp = orb.extract_orb(jnp.asarray(bird_img, jnp.float32), bcfg, mask=mask)
+            bv = self.cfg.birdview
+            base_xy = np.asarray(bv.pixel_to_base_xy(bkp.xy))
+            base_xyz = np.concatenate(
+                [base_xy, np.zeros((base_xy.shape[0], 1), np.float32)], 1)
+            fd.bird_kp = bkp
+            fd.bird_base_xyz = base_xyz
+            fd.bird_mp = np.full(bkp.capacity, INVALID, np.int64)
+        self.frame_id += 1
+        return fd
+
+    # ------------------------------------------------------------------
+    # main entry
+    # ------------------------------------------------------------------
+    def process(self, img, timestamp, bird_img=None, bird_mask=None,
+                depth_img=None) -> FrameData:
+        fd = self.make_frame(img, timestamp, bird_img, bird_mask, depth_img)
+        if self.state == NOT_INITIALIZED:
+            self._try_initialize(fd)
+        else:
+            ok = False
+            if self.velocity is not None and self.state == OK:
+                ok = self._track_motion_model(fd)
+            if not ok and self.state == OK:
+                ok = self._track_reference_kf(fd)
+            if not ok and self.state == LOST:
+                ok = self._relocalize(fd)
+            if ok:
+                ok = self._track_local_map(fd)
+            if ok:
+                self.state = OK
+                fd.pose_ok = True
+                self._update_velocity(fd)
+                if not self.only_tracking and self._need_new_keyframe(fd):
+                    self._create_keyframe(fd)
+            else:
+                self.state = LOST
+                self.velocity = None
+        self._record_trajectory(fd)
+        self.last_frame = fd
+        return fd
+
+    # ------------------------------------------------------------------
+    # initialization
+    # ------------------------------------------------------------------
+    def _try_initialize(self, fd: FrameData):
+        cfg = self.cfg.tracking
+        if self.cfg.sensor in ("stereo", "rgbd"):
+            self._initialize_with_depth(fd)
+            return
+        if fd.n_kp < cfg.min_init_kps:
+            self.init_ref = None
+            return
+        if self.init_ref is None:
+            self.init_ref = fd
+            return
+        ref = self.init_ref
+        idx, _ = device_ops.match_frames_window_rot(
+            ref.kp.xy, ref.kp.angle, ref.kp.desc_pm1, ref.kp.valid,
+            fd.kp.xy, fd.kp.angle, fd.kp.desc_pm1, fd.kp.valid,
+            jnp.asarray(cfg.init_search_radius, jnp.float32),
+        )
+        idx = np.asarray(idx)
+        matched = idx >= 0
+        n_matches = int(matched.sum())
+        if n_matches < cfg.min_init_matches:
+            self.init_ref = fd
+            return
+
+        x1 = ref.kp.xy
+        x2 = fd.kp.xy[jnp.where(idx >= 0, idx, 0)]
+        have_bird = fd.bird_kp is not None and ref.bird_kp is not None
+        bkw = {}
+        bird_idx = None
+        if have_bird:
+            bird_idx, _ = device_ops.match_frames_window_rot(
+                ref.bird_kp.xy, ref.bird_kp.angle, ref.bird_kp.desc_pm1,
+                ref.bird_kp.valid,
+                fd.bird_kp.xy, fd.bird_kp.angle, fd.bird_kp.desc_pm1,
+                fd.bird_kp.valid,
+                jnp.asarray(cfg.bird_search_radius, jnp.float32),
+            )
+            bird_idx = np.asarray(bird_idx)
+            bmatched = bird_idx >= 0
+            if bmatched.sum() < cfg.min_init_bird_matches:
+                self.init_ref = fd
+                return
+            b1 = jnp.asarray(ref.bird_base_xyz)
+            b2 = jnp.asarray(fd.bird_base_xyz)[
+                jnp.where(bird_idx >= 0, bird_idx, 0)]
+            bkw = dict(
+                bird_xy1=b1, bird_xy2=b2,
+                bird_valid=jnp.asarray(bmatched),
+                bird_sigma=cfg.bird_sigma_m,
+                R_bc=jnp.asarray(self.R_bc), t_bc=jnp.asarray(self.t_bc),
+                min_icp_translation=cfg.min_icp_translation,
+            )
+
+        res = initializer.initialize_two_view(
+            self._next_key(), x1, x2, jnp.asarray(matched),
+            self.cfg.camera.K, sigma=1.0, **bkw,
+        )
+        if not bool(res.ok):
+            return
+        self._create_initial_map(fd, res, idx, bird_idx)
+
+    def _create_initial_map(self, fd, res, idx, bird_idx):
+        store = self.store
+        ref = self.init_ref
+        R21 = np.asarray(res.R21)
+        t21 = np.asarray(res.t21)
+        good = np.asarray(res.good)
+        pts = np.asarray(res.points3d)
+        have_bird = bird_idx is not None and bool(res.icp_ok)
+
+        if not have_bird:
+            # rescale so median depth = 1 (`CreateInitialMapMonocular`,
+            # src/Tracking.cc:946-972; skipped in birdview mode — metric)
+            med = np.median(pts[good][:, 2]) if good.any() else 1.0
+            if med <= 0:
+                return
+            pts = pts / med
+            t21 = t21 / med
+
+        kf1 = store.alloc_keyframe(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+                                   ref.frame_id, ref.timestamp, ref.kp,
+                                   bird=(ref.bird_kp, ref.bird_base_xyz)
+                                   if ref.bird_kp is not None else None)
+        kf2 = store.alloc_keyframe(R21, t21, fd.frame_id, fd.timestamp, fd.kp,
+                                   bird=(fd.bird_kp, fd.bird_base_xyz)
+                                   if fd.bird_kp is not None else None)
+        k1_idx = np.nonzero(good)[0]
+        k2_idx = np.asarray(idx)[k1_idx]
+        descs = np.asarray(fd.kp.desc_u8)[k2_idx]
+        ids = store.alloc_points(pts[k1_idx], descs, kf2, fd.frame_id)
+        store.add_observations(kf1, k1_idx, ids)
+        store.add_observations(kf2, k2_idx, ids)
+        store.update_covisibility(kf1)
+        store.update_covisibility(kf2)
+        store.update_point_stats(ids, self.scale_factors)
+
+        if have_bird:
+            binl = np.asarray(res.bird_inliers)
+            b1_idx = np.nonzero(binl)[0]
+            b2_idx = np.asarray(bird_idx)[b1_idx]
+            # world == cam1 frame: landmark pos = Tcb · base_xyz(frame1)
+            base1 = ref.bird_base_xyz[b1_idx]
+            wpos = base1 @ self.R_cb.T + self.t_cb
+            bdesc = np.asarray(fd.bird_kp.desc_u8)[b2_idx]
+            bids = store.alloc_bird_points(wpos, bdesc, ref.frame_id)
+            store.add_bird_observations(kf1, b1_idx, bids)
+            store.add_bird_observations(kf2, b2_idx, bids)
+            fd.bird_mp[b2_idx] = bids
+
+        fd.R, fd.t = R21, t21
+        fd.kp_mp[k2_idx] = ids
+        fd.pose_ok = True
+        self.ref_kf = kf2
+        self.last_kf_frame_id = fd.frame_id
+        self.state = OK
+        self.velocity = None
+        if self.mapper is not None:
+            self.mapper.initial_global_ba(kf1, kf2)
+            # poses may have been refined by GBA
+            fd.R = store.kf_R[kf2].copy()
+            fd.t = store.kf_t[kf2].copy()
+
+    def _initialize_with_depth(self, fd: FrameData):
+        """Stereo/RGB-D init (`Tracking::StereoInitialization`): first frame
+        with ≥500 depth-valid keypoints becomes KF at identity; landmarks
+        unprojected from depth."""
+        if fd.kp_depth is None or (fd.kp_depth > 0).sum() < 500:
+            return
+        store = self.store
+        kf = store.alloc_keyframe(fd.R, fd.t, fd.frame_id, fd.timestamp, fd.kp,
+                                  kp_depth=fd.kp_depth, kp_ur=fd.kp_ur)
+        cam = self.cfg.camera
+        xy = np.asarray(fd.kp.xy)
+        ok = (fd.kp_depth > 0) & np.asarray(fd.kp.valid)
+        ki = np.nonzero(ok)[0]
+        z = fd.kp_depth[ki]
+        X = np.stack([(xy[ki, 0] - cam.cx) / cam.fx * z,
+                      (xy[ki, 1] - cam.cy) / cam.fy * z, z], 1)
+        descs = np.asarray(fd.kp.desc_u8)[ki]
+        ids = store.alloc_points(X.astype(np.float32), descs, kf, fd.frame_id)
+        store.add_observations(kf, ki, ids)
+        store.update_covisibility(kf)
+        store.update_point_stats(ids, self.scale_factors)
+        fd.kp_mp[ki] = ids
+        fd.pose_ok = True
+        self.ref_kf = kf
+        self.last_kf_frame_id = fd.frame_id
+        self.state = OK
+        self.velocity = None
+
+    # ------------------------------------------------------------------
+    # per-frame tracking
+    # ------------------------------------------------------------------
+    def _pose_opt_with_matches(self, fd: FrameData, R0, t0):
+        """Run motion-only LM over fd's current matches (+ bird edges)."""
+        store = self.store
+        cam = self.cfg.camera
+        m = fd.kp_mp >= 0
+        Xw = store.mp_pos[np.where(m, fd.kp_mp, 0)]
+        octv = np.asarray(fd.kp.octave)
+        info = 1.0 / self.level_sigma2[np.clip(octv, 0, len(self.level_sigma2) - 1)]
+        bird_args = {}
+        if fd.bird_kp is not None:
+            bm = fd.bird_mp >= 0
+            Xb = store.bmp_pos[np.where(bm, fd.bird_mp, 0)]
+            obs_pc = fd.bird_base_xyz @ self.R_cb.T + self.t_cb
+            sig = self.cfg.tracking.bird_sigma_m
+            binfo = np.full(len(Xb),
+                            self.cfg.tracking.bird_info_scale_pose / sig ** 2,
+                            np.float32)
+            bird_args = dict(
+                Xw_bird=jnp.asarray(Xb),
+                obs_pc_bird=jnp.asarray(obs_pc, jnp.float32),
+                info_bird=jnp.asarray(binfo),
+                valid_bird=jnp.asarray(bm),
+            )
+        res = pose_opt.optimize_pose(
+            jnp.asarray(R0), jnp.asarray(t0),
+            jnp.asarray(Xw), fd.kp.xy, jnp.asarray(info),
+            jnp.asarray(m), cam.fx, cam.fy, cam.cx, cam.cy, **bird_args,
+        )
+        fd.R = np.asarray(res.R)
+        fd.t = np.asarray(res.t)
+        inl = np.asarray(res.inliers_mono)
+        fd.kp_mp[m & ~inl] = INVALID
+        if fd.bird_kp is not None:
+            binl = np.asarray(res.inliers_bird)
+            fd.bird_mp[(fd.bird_mp >= 0) & ~binl] = INVALID
+            return int(inl.sum()), int(binl.sum())
+        return int(inl.sum()), 0
+
+    def _project_and_match(self, fd: FrameData, mp_ids, radius_mult,
+                           exclude_mp=None, max_dist=matcher.TH_HIGH):
+        """Project map points into fd and associate with keypoints."""
+        store = self.store
+        cam = self.cfg.camera
+        cap = self.cfg.mapping.local_ba_point_cap
+        mp_ids = np.asarray(mp_ids)[:cap]
+        n = len(mp_ids)
+        pad = cap - n
+        ids_p = np.pad(mp_ids, (0, pad), constant_values=0)
+        pvalid = np.zeros(cap, bool)
+        pvalid[:n] = store.mp_valid[mp_ids]
+        if exclude_mp is not None and len(exclude_mp):
+            excl = np.isin(ids_p, exclude_mp)
+            pvalid &= ~excl
+        uv, pred_oct, rad_f, ok = device_ops.frustum_gate(
+            jnp.asarray(fd.R), jnp.asarray(fd.t),
+            jnp.asarray(store.mp_pos[ids_p]),
+            jnp.asarray(store.mp_normal[ids_p]),
+            jnp.asarray(store.mp_min_dist[ids_p]),
+            jnp.asarray(store.mp_max_dist[ids_p]),
+            jnp.asarray(pvalid),
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+            self.cfg.orb.n_levels, self.log_scale,
+        )
+        # visibility counter
+        vis = np.asarray(ok)
+        np.add.at(store.mp_visible, ids_p[vis & pvalid], 1)
+        radius = (np.asarray(rad_f) * radius_mult
+                  * self.scale_factors[np.clip(np.asarray(pred_oct), 0,
+                                               len(self.scale_factors) - 1)])
+        idx, dist = device_ops.match_projected(
+            uv, ok, jnp.asarray(store.mp_desc[ids_p]),
+            fd.kp.xy, fd.kp.octave, fd.kp.valid, fd.kp.desc_pm1,
+            jnp.asarray(radius, jnp.float32), pred_oct, max_dist_th=max_dist,
+        )
+        idx = np.asarray(idx)
+        found = idx >= 0
+        # don't overwrite existing associations
+        tgt = idx[found]
+        src = ids_p[found]
+        free = fd.kp_mp[tgt] == INVALID
+        fd.kp_mp[tgt[free]] = src[free]
+        return int(found.sum())
+
+    def _track_motion_model(self, fd: FrameData) -> bool:
+        last = self.last_frame
+        T_pred = self.velocity @ last.Tcw()
+        R0, t0 = T_pred[:3, :3], T_pred[:3, 3]
+        fd.R, fd.t = R0.copy(), t0.copy()
+        # project last frame's landmarks
+        last_mp = last.kp_mp
+        mp_ids = np.unique(last_mp[last_mp >= 0])
+        if len(mp_ids) == 0:
+            return False
+        n = self._project_and_match(
+            fd, mp_ids, self.cfg.tracking.motion_search_radius / 2.5)
+        if n < 20:
+            fd.kp_mp[:] = INVALID
+            n = self._project_and_match(
+                fd, mp_ids, self.cfg.tracking.motion_search_radius * 2 / 2.5)
+        if n < 20:
+            return False
+        self._match_bird_from_last(fd)
+        n_inl, nb = self._pose_opt_with_matches(fd, R0, t0)
+        return n_inl >= self.cfg.tracking.min_track_inliers
+
+    def _track_reference_kf(self, fd: FrameData) -> bool:
+        if self.ref_kf == INVALID:
+            return False
+        store = self.store
+        kf = self.ref_kf
+        # dense descriptor match against ref KF keypoints with landmarks
+        has_mp = store.kf_kp_mp[kf] >= 0
+        kp_pm1 = unpack_bits_to_pm1(jnp.asarray(store.kf_desc[kf]))
+        dist = matcher.hamming_matrix(
+            kp_pm1, fd.kp.desc_pm1,
+            jnp.asarray(store.kf_kp_valid[kf] & has_mp), fd.kp.valid)
+        idx, d = matcher.match_mutual(dist, max_dist=matcher.TH_LOW, ratio=0.7)
+        idx = np.asarray(idx)
+        m = idx >= 0
+        if m.sum() < 15:
+            return False
+        fd.kp_mp[idx[m]] = store.kf_kp_mp[kf][m]
+        last = self.last_frame
+        self._match_bird_from_last(fd)
+        n_inl, nb = self._pose_opt_with_matches(fd, last.R, last.t)
+        return n_inl >= self.cfg.tracking.min_track_inliers
+
+    def _match_bird_from_last(self, fd: FrameData):
+        """Propagate BEV landmarks from the last frame and create new ones
+        (`SearchByMatchBird` + `MatchAndRetriveBirdMP`,
+        src/Tracking.cc:2153-2208)."""
+        last = self.last_frame
+        if fd.bird_kp is None or last is None or last.bird_kp is None:
+            return
+        store = self.store
+        idx, _ = device_ops.match_frames_window(
+            last.bird_kp.xy, last.bird_kp.desc_pm1, last.bird_kp.valid,
+            fd.bird_kp.xy, fd.bird_kp.desc_pm1, fd.bird_kp.valid,
+            jnp.asarray(self.cfg.tracking.bird_search_radius, jnp.float32),
+        )
+        idx = np.asarray(idx)
+        m = idx >= 0
+        # propagate existing landmark ids
+        has = m & (last.bird_mp >= 0)
+        src = np.nonzero(has)[0]
+        if len(src):
+            keep = store.bmp_valid[last.bird_mp[src]]
+            fd.bird_mp[idx[src[keep]]] = last.bird_mp[src[keep]]
+        # create new landmarks from matches without one (needs last pose):
+        if last.pose_ok:
+            new_src = np.nonzero(m & (last.bird_mp < 0))[0]
+            if len(new_src):
+                # world pos from LAST frame's pose: Twc_last · Tcb · base_xyz
+                Twb_R = last.R.T @ self.R_cb
+                Twb_t = last.R.T @ (self.t_cb - last.t)
+                base = last.bird_base_xyz[new_src]
+                wpos = base @ Twb_R.T + Twb_t
+                descs = np.asarray(fd.bird_kp.desc_u8)[idx[new_src]]
+                bids = store.alloc_bird_points(wpos.astype(np.float32), descs,
+                                               last.frame_id)
+                fd.bird_mp[idx[new_src]] = bids
+
+    def _track_local_map(self, fd: FrameData) -> bool:
+        store = self.store
+        cfg = self.cfg.tracking
+        # local keyframes: vote by current matches
+        m = fd.kp_mp >= 0
+        if m.sum() == 0:
+            return False
+        obs = store.kf_kp_mp[: store.n_kf]
+        member = np.zeros(store.max_mp, bool)
+        member[fd.kp_mp[m]] = True
+        votes = (member[obs.clip(0)] & (obs >= 0)).sum(1)
+        votes[~store.kf_valid[: store.n_kf]] = 0
+        local_kfs = np.nonzero(votes > 0)[0]
+        order = np.argsort(-votes[local_kfs], kind="stable")
+        local_kfs = local_kfs[order][: cfg.local_map_max_kfs]
+        if len(local_kfs) == 0:
+            return False
+        self.ref_kf = int(local_kfs[0])
+        # extend with covisible neighbors
+        ext = set(local_kfs.tolist())
+        for kf in local_kfs[:10]:
+            for n in store.covisible_kfs(kf, top_n=10):
+                ext.add(int(n))
+                if len(ext) >= cfg.local_map_max_kfs:
+                    break
+        local_kfs = np.fromiter(ext, dtype=np.int64)
+        # local points
+        mp = store.kf_kp_mp[local_kfs]
+        mp_ids = np.unique(mp[mp >= 0])
+        mp_ids = mp_ids[store.mp_valid[mp_ids]]
+        already = fd.kp_mp[m]
+        self._project_and_match(fd, mp_ids, cfg.local_search_radius / 2.5,
+                                exclude_mp=already, max_dist=matcher.TH_HIGH)
+        # bird local points
+        self._search_bird_local(fd, local_kfs)
+        n_inl, nb = self._pose_opt_with_matches(fd, fd.R, fd.t)
+        # found counters
+        fm = fd.kp_mp >= 0
+        np.add.at(store.mp_found, fd.kp_mp[fm], 1)
+        thresh = (cfg.min_localmap_inliers_after_reloc
+                  if fd.frame_id - self.last_reloc_frame_id < 30
+                  else cfg.min_localmap_inliers)
+        self._n_last_inliers = n_inl + nb
+        return (n_inl + nb) >= thresh
+
+    def _search_bird_local(self, fd: FrameData, local_kfs):
+        """`SearchByProjectionBird` (ORBmatcher.cc:1923-1998): project bird
+        landmarks of local KFs into the current BEV image."""
+        if fd.bird_kp is None:
+            return
+        store = self.store
+        bmp = store.kf_bird_mp[local_kfs]
+        bids = np.unique(bmp[bmp >= 0])
+        if len(bids) == 0:
+            return
+        bids = bids[store.bmp_valid[bids]]
+        cap = self.cfg.mapping.local_ba_point_cap
+        bids = bids[:cap]
+        n = len(bids)
+        if n == 0:
+            return
+        bv = self.cfg.birdview
+        # world → base frame of current pose: Tbc · Tcw
+        Rbw = self.R_bc @ fd.R
+        tbw = self.R_bc @ fd.t + self.t_bc
+        pb = store.bmp_pos[bids] @ Rbw.T + tbw
+        # off-plane gate |z| < 0.2 m (ORBmatcher.cc:1971)
+        on_plane = np.abs(pb[:, 2]) < 0.2
+        uv = np.asarray(bv.base_xy_to_pixel(jnp.asarray(pb[:, :2])))
+        inb = ((uv[:, 0] >= 0) & (uv[:, 0] < bv.width)
+               & (uv[:, 1] >= 0) & (uv[:, 1] < bv.height))
+        pvalid = on_plane & inb
+        pad = cap - n
+        uv_p = np.pad(uv, ((0, pad), (0, 0)))
+        val_p = np.pad(pvalid, (0, pad))
+        ids_p = np.pad(bids, (0, pad), constant_values=0)
+        radius = np.full(cap, self.cfg.tracking.bird_search_radius, np.float32)
+        idx, dist = device_ops.match_projected(
+            jnp.asarray(uv_p, jnp.float32), jnp.asarray(val_p),
+            jnp.asarray(store.bmp_desc[ids_p]),
+            fd.bird_kp.xy, fd.bird_kp.octave, fd.bird_kp.valid,
+            fd.bird_kp.desc_pm1,
+            jnp.asarray(radius), None, max_dist_th=matcher.TH_HIGH,
+        )
+        idx = np.asarray(idx)
+        found = idx >= 0
+        tgt = idx[found]
+        src = ids_p[found]
+        free = fd.bird_mp[tgt] == INVALID
+        fd.bird_mp[tgt[free]] = src[free]
+
+    # ------------------------------------------------------------------
+    # relocalization
+    # ------------------------------------------------------------------
+    def _relocalize(self, fd: FrameData) -> bool:
+        """EPnP-RANSAC relocalization (`Tracking::Relocalization`,
+        src/Tracking.cc:1902-2063). Candidate KFs come from the keyframe
+        database (BoW) when available, else all valid KFs."""
+        store = self.store
+        cam = self.cfg.camera
+        candidates = self._reloc_candidates(fd)
+        for kf in candidates:
+            has_mp = store.kf_kp_mp[kf] >= 0
+            kp_pm1 = unpack_bits_to_pm1(jnp.asarray(store.kf_desc[kf]))
+            dist = matcher.hamming_matrix(
+                kp_pm1, fd.kp.desc_pm1,
+                jnp.asarray(store.kf_kp_valid[kf] & has_mp), fd.kp.valid)
+            idx, _ = matcher.match_mutual(dist, max_dist=matcher.TH_LOW, ratio=0.75)
+            idx = np.asarray(idx)
+            m = idx >= 0
+            if m.sum() < 15:
+                continue
+            mp_ids = store.kf_kp_mp[kf][m]
+            Xw = store.mp_pos[mp_ids]
+            kp_xy = np.asarray(fd.kp.xy)[idx[m]]
+            xyn = np.stack([(kp_xy[:, 0] - cam.cx) / cam.fx,
+                            (kp_xy[:, 1] - cam.cy) / cam.fy], 1)
+            octv = np.asarray(fd.kp.octave)[idx[m]]
+            sig2 = self.level_sigma2[np.clip(octv, 0, len(self.level_sigma2) - 1)]
+            chi2 = 5.991 * sig2 / (cam.fx * cam.fx)
+            K_cap = 512
+            npts = min(len(Xw), K_cap)
+            padn = K_cap - npts
+            res = pnp.pnp_ransac(
+                self._next_key(),
+                jnp.asarray(np.pad(Xw[:npts], ((0, padn), (0, 0)))),
+                jnp.asarray(np.pad(xyn[:npts], ((0, padn), (0, 0))), jnp.float32),
+                jnp.asarray(np.pad(np.ones(npts, bool), (0, padn))),
+                jnp.asarray(np.pad(chi2[:npts], (0, padn)), jnp.float32),
+                min_inliers=10,
+            )
+            if not bool(res.ok):
+                continue
+            fd.R = np.asarray(res.R)
+            fd.t = np.asarray(res.t)
+            fd.kp_mp[:] = INVALID
+            ki = idx[m]
+            fd.kp_mp[ki] = mp_ids
+            n_inl, _ = self._pose_opt_with_matches(fd, fd.R, fd.t)
+            if n_inl < 10:
+                continue
+            # widen search and refine
+            self._project_and_match(
+                fd, store.valid_mp_ids(),
+                self.cfg.tracking.reloc_search_radius / 2.5)
+            n_inl, _ = self._pose_opt_with_matches(fd, fd.R, fd.t)
+            if n_inl >= 50:
+                self.last_reloc_frame_id = fd.frame_id
+                self.ref_kf = int(kf)
+                return True
+        return False
+
+    def _reloc_candidates(self, fd: FrameData):
+        """Relocalization candidates. BoW keyframe database when attached
+        (place recognition layer), else brute-force ranking by descriptor
+        affinity to all KFs."""
+        store = self.store
+        kfdb = getattr(self, "kfdb", None)
+        if kfdb is not None:
+            cands = kfdb.detect_relocalization_candidates(fd.kp)
+            if len(cands):
+                return cands
+        return store.valid_kf_ids()[::-1][:10]
+
+    # ------------------------------------------------------------------
+    # keyframe policy
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, fd: FrameData) -> bool:
+        cfg = self.cfg.tracking
+        store = self.store
+        if self.ref_kf == INVALID:
+            return False
+        since = fd.frame_id - self.last_kf_frame_id
+        if since < cfg.min_frames_between_kf:
+            return False
+        ref_tracked = int(((store.kf_kp_mp[self.ref_kf] >= 0)
+                           & store.kf_kp_valid[self.ref_kf]).sum())
+        tracked = int((fd.kp_mp >= 0).sum())
+        c1 = since >= cfg.max_frames_between_kf
+        c2 = tracked < cfg.ref_ratio * max(ref_tracked, 1) and tracked > 15
+        return bool(c1 or c2)
+
+    def _create_keyframe(self, fd: FrameData):
+        store = self.store
+        if store.n_kf >= store.max_kf:
+            return
+        bird = ((fd.bird_kp, fd.bird_base_xyz)
+                if fd.bird_kp is not None else None)
+        kf = store.alloc_keyframe(fd.R, fd.t, fd.frame_id, fd.timestamp, fd.kp,
+                                  bird=bird, kp_depth=fd.kp_depth,
+                                  kp_ur=fd.kp_ur)
+        ki = np.nonzero(fd.kp_mp >= 0)[0]
+        store.add_observations(kf, ki, fd.kp_mp[ki])
+        if fd.bird_kp is not None:
+            bi = np.nonzero(fd.bird_mp >= 0)[0]
+            keep = store.bmp_valid[fd.bird_mp[bi]]
+            store.add_bird_observations(kf, bi[keep], fd.bird_mp[bi[keep]])
+            store.update_bird_point_desc(fd.bird_mp[bi[keep]])
+        # stereo/RGB-D: seed close landmarks from depth
+        if fd.kp_depth is not None:
+            self._seed_depth_points(fd, kf)
+        store.update_covisibility(kf)
+        store.update_point_stats(np.unique(fd.kp_mp[ki]), self.scale_factors)
+        self.ref_kf = kf
+        self.last_kf_frame_id = fd.frame_id
+        if self.mapper is not None:
+            self.mapper.process_keyframe(kf)
+            fd.R = store.kf_R[kf].copy()
+            fd.t = store.kf_t[kf].copy()
+
+    def _seed_depth_points(self, fd: FrameData, kf: int):
+        """`Tracking::CreateNewKeyFrame` stereo branch: unproject the closest
+        depth-valid, landmark-free keypoints as new map points."""
+        store = self.store
+        cam = self.cfg.camera
+        free = (fd.kp_mp < 0) & (fd.kp_depth > 0) & np.asarray(fd.kp.valid)
+        ki = np.nonzero(free & (fd.kp_depth < self.cfg.depth_threshold))[0]
+        if len(ki) == 0:
+            return
+        xy = np.asarray(fd.kp.xy)[ki]
+        z = fd.kp_depth[ki]
+        Xc = np.stack([(xy[:, 0] - cam.cx) / cam.fx * z,
+                       (xy[:, 1] - cam.cy) / cam.fy * z, z], 1)
+        Xw = (Xc - fd.t) @ fd.R  # R^T (Xc − t)
+        descs = np.asarray(fd.kp.desc_u8)[ki]
+        ids = store.alloc_points(Xw.astype(np.float32), descs, kf, fd.frame_id)
+        store.add_observations(kf, ki, ids)
+        fd.kp_mp[ki] = ids
+
+    # ------------------------------------------------------------------
+    def _update_velocity(self, fd: FrameData):
+        last = self.last_frame
+        if last is None or not last.pose_ok:
+            self.velocity = None
+            return
+        T_last = last.Tcw()
+        T_cur = fd.Tcw()
+        self.velocity = T_cur @ np.linalg.inv(T_last)
+
+    def _record_trajectory(self, fd: FrameData):
+        if self.ref_kf == INVALID:
+            return
+        store = self.store
+        T_ref = np.eye(4, dtype=np.float32)
+        T_ref[:3, :3] = store.kf_R[self.ref_kf]
+        T_ref[:3, 3] = store.kf_t[self.ref_kf]
+        T_rel = fd.Tcw() @ np.linalg.inv(T_ref)
+        self.trajectory.append(
+            TrajectoryEntry(fd.timestamp, self.ref_kf, T_rel,
+                            not fd.pose_ok))

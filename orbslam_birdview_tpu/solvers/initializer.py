@@ -120,4 +120,26 @@ def initialize_two_view(
         X = jnp.where(icp_ok, X * jnp.abs(scale), X)
         ok = ok & icp_ok
 
+        # ICP-pose fallback: the standard selection demands parallax and a
+        # unique hypothesis, which fails for low-parallax ground-vehicle
+        # motion (forward motion, far scene). The BEV ICP provides a full
+        # METRIC relative pose (planar motion assumption) — the fork injects
+        # it as extra hypotheses (`Initializer.cc:650-651,741-765`); we score
+        # it directly and accept when the model selection is indecisive.
+        R_icp = RsF[6]
+        n_icp, par_icp, X_icp, good_icp = twoview.check_rt(
+            R_icp, t_icp_cam, xy1, xy2, model_inliers, K, sigma)
+        n_inl = jnp.sum(model_inliers.astype(jnp.int32))
+        icp_accept = (
+            icp_ok
+            & (n_icp >= min_triangulated)
+            & (n_icp >= (0.5 * n_inl).astype(jnp.int32))
+        )
+        use_fallback = icp_accept & ~ok
+        R = jnp.where(use_fallback, R_icp, R)
+        t = jnp.where(use_fallback, t_icp_cam, t)  # already metric
+        X = jnp.where(use_fallback, X_icp, X)
+        good = jnp.where(use_fallback, good_icp, good)
+        ok = ok | icp_accept
+
     return InitResult(ok, use_H, R, t, X, good, bird_inl, icp_ok)

@@ -1,0 +1,218 @@
+"""Synthetic world rendering for end-to-end tests and benchmarks.
+
+The reference has no tests (SURVEY §4); its de-facto acceptance test is ATE
+on TUM/KITTI sequences, which are not shippable. This module renders
+deterministic synthetic sequences with exact ground truth:
+
+- front camera: a textured plane (wall) viewed by a moving camera — image
+  formation is an exact homography warp of the texture;
+- BEV camera: a textured ground plane seen top-down around the vehicle —
+  exact affine warp with the metric pixel<->meter calibration.
+
+ATE against the known trajectory is the same acceptance metric the
+reference uses, minus the dataset dependency.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import cv2
+import numpy as np
+
+from ..core.camera import BirdviewCamera, PinholeCamera
+
+
+def make_texture(seed: int, size: int = 2048, n_blobs: int = 4000) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    tex = rng.uniform(20, 70, (size, size)).astype(np.float32)
+    ys = rng.integers(5, size - 40, n_blobs)
+    xs = rng.integers(5, size - 40, n_blobs)
+    hs = rng.integers(4, 36, n_blobs)
+    ws = rng.integers(4, 36, n_blobs)
+    vals = rng.uniform(50, 185, n_blobs)
+    for y, x, h, w, v in zip(ys, xs, hs, ws, vals):
+        tex[y : y + h, x : x + w] += v
+    tex = cv2.GaussianBlur(np.clip(tex, 0, 255), (3, 3), 0.8)
+    return np.clip(tex, 0, 255).astype(np.float32)
+
+
+def render_wall_view(cam: PinholeCamera, tex: np.ndarray, R_cw: np.ndarray,
+                     t_cw: np.ndarray, wall_z: float,
+                     meters_per_tex: float = 0.005) -> np.ndarray:
+    """Render the camera view of the textured plane z=wall_z (world frame).
+
+    Texture pixel (tx,ty) maps to world (x,y) = ((tx,ty) − size/2)·mpt.
+    """
+    size = tex.shape[0]
+    A = np.array(
+        [[meters_per_tex, 0.0, -size / 2 * meters_per_tex],
+         [0.0, meters_per_tex, -size / 2 * meters_per_tex],
+         [0.0, 0.0, 1.0]], np.float64)
+    Hc = np.column_stack([R_cw[:, 0], R_cw[:, 1],
+                          wall_z * R_cw[:, 2] + t_cw]).astype(np.float64)
+    K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], np.float64)
+    H = K @ Hc @ A
+    return cv2.warpPerspective(tex, H, (cam.width, cam.height),
+                               flags=cv2.INTER_LINEAR)
+
+
+def render_bev(bv: BirdviewCamera, ground: np.ndarray, x: float, y: float,
+               yaw: float, meters_per_tex: float = 0.02) -> np.ndarray:
+    """Top-down view of the ground texture around vehicle pose (x,y,yaw)."""
+    size = ground.shape[0]
+    h, w = bv.height, bv.width
+    # BEV pixel -> base xy -> world xy -> texture px
+    us, vs = np.meshgrid(np.arange(w, dtype=np.float32),
+                         np.arange(h, dtype=np.float32))
+    bx = (h / 2.0 - vs) * bv.pixel2meter + bv.rear_axle_to_center
+    by = (w / 2.0 - us) * bv.pixel2meter
+    c, s = np.cos(yaw), np.sin(yaw)
+    wx = x + c * bx - s * by
+    wy = y + s * bx + c * by
+    tx = (wx / meters_per_tex + size / 2).astype(np.float32)
+    ty = (wy / meters_per_tex + size / 2).astype(np.float32)
+    return cv2.remap(ground, tx, ty, cv2.INTER_LINEAR,
+                     borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+
+
+@dataclass
+class WallSequence:
+    """Camera translating laterally in front of a wall at z=wall_z, with a
+    gentle push-in; exact ground truth poses (world→cam)."""
+
+    cam: PinholeCamera
+    n_frames: int = 60
+    wall_z: float = 4.0
+    step: float = 0.02        # meters per frame along +x
+    push: float = 0.004       # meters per frame along +z
+    yaw_rate: float = 0.0
+    seed: int = 3
+
+    def __post_init__(self):
+        self.tex = make_texture(self.seed)
+
+    def gt_pose(self, i: int):
+        """Returns (R_cw, t_cw): world→camera."""
+        yaw = self.yaw_rate * i
+        c, s = np.cos(yaw), np.sin(yaw)
+        R_wc = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        p = np.array([self.step * i, 0.0, self.push * i], np.float32)
+        R_cw = R_wc.T
+        t_cw = -R_cw @ p
+        return R_cw, t_cw
+
+    def frame(self, i: int):
+        R_cw, t_cw = self.gt_pose(i)
+        img = render_wall_view(self.cam, self.tex, R_cw.astype(np.float64),
+                               t_cw.astype(np.float64), self.wall_z)
+        return img, (R_cw, t_cw)
+
+    def depth(self, i: int) -> np.ndarray:
+        """Exact per-pixel depth (camera z) of the wall plane."""
+        R_cw, t_cw = self.gt_pose(i)
+        R_wc = R_cw.T
+        p = -R_wc @ t_cw
+        cam = self.cam
+        us, vs = np.meshgrid(np.arange(cam.width, dtype=np.float64),
+                             np.arange(cam.height, dtype=np.float64))
+        xn = (us - cam.cx) / cam.fx
+        yn = (vs - cam.cy) / cam.fy
+        dw_z = R_wc[2, 0] * xn + R_wc[2, 1] * yn + R_wc[2, 2]
+        depth = (self.wall_z - p[2]) / np.maximum(dw_z, 1e-9)
+        return depth.astype(np.float32)
+
+
+@dataclass
+class BirdSequence:
+    """Vehicle driving on a textured ground plane: front camera sees a wall
+    ahead, BEV camera sees the ground. Metric ground truth."""
+
+    cam: PinholeCamera
+    bv: BirdviewCamera
+    n_frames: int = 60
+    speed: float = 0.12       # m per frame along +x (vehicle forward)
+    yaw_rate: float = 0.004
+    wall_x: float = 14.0      # wall ahead, world plane x=wall_x
+    seed: int = 5
+
+    def __post_init__(self):
+        self.ground = make_texture(self.seed, size=4096)
+        self.wall = make_texture(self.seed + 1)
+        # camera→base: camera z forward (+x base), x right (−y base),
+        # y down (−z base); mounted at base origin, height 1.2 m
+        self.R_bc = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float32)
+        self.t_bc = np.array([0.0, 0.0, 1.2], np.float32)
+
+    def gt_pose2d(self, i: int):
+        yaw = self.yaw_rate * i
+        if abs(self.yaw_rate) < 1e-9:
+            x = self.speed * i
+            y = 0.0
+        else:
+            r = self.speed / self.yaw_rate
+            x = r * np.sin(yaw)
+            y = r * (1 - np.cos(yaw))
+        return x, y, yaw
+
+    def gt_cam_pose(self, i: int):
+        """World→camera SE3 from the vehicle 2D pose + extrinsics."""
+        x, y, yaw = self.gt_pose2d(i)
+        c, s = np.cos(yaw), np.sin(yaw)
+        R_wb = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        t_wb = np.array([x, y, 0], np.float32)
+        R_wc = R_wb @ self.R_bc
+        t_wc = R_wb @ self.t_bc + t_wb
+        R_cw = R_wc.T
+        t_cw = -R_cw @ t_wc
+        return R_cw, t_cw
+
+    def frame(self, i: int):
+        x, y, yaw = self.gt_pose2d(i)
+        bev = render_bev(self.bv, self.ground, x, y, yaw)
+        R_cw, t_cw = self.gt_cam_pose(i)
+        # front camera sees the wall plane x=wall_x (world). Re-express as a
+        # plane z'=wall_x in a rotated world frame: world pts X=[wall_x,u,v].
+        # Build homography directly: X = [wall_x, a, b] for texture coords
+        # (a,b); cam point = R_cw X + t_cw.
+        size = self.wall.shape[0]
+        mpt = 0.01
+        A = np.array([[mpt, 0, -size / 2 * mpt],
+                      [0, mpt, -size / 2 * mpt],
+                      [0, 0, 1.0]])
+        # plane param: X = e_y * a + e_z_world * b + [wall_x,0,0]
+        B = np.column_stack([
+            R_cw[:, 1], R_cw[:, 2], R_cw[:, 0] * self.wall_x + t_cw
+        ]).astype(np.float64)
+        K = np.array([[self.cam.fx, 0, self.cam.cx],
+                      [0, self.cam.fy, self.cam.cy], [0, 0, 1]])
+        H = K @ B @ A
+        img = cv2.warpPerspective(self.wall, H, (self.cam.width, self.cam.height),
+                                  flags=cv2.INTER_LINEAR)
+        return img, bev, (R_cw, t_cw)
+
+
+def ate_rmse(est_positions: np.ndarray, gt_positions: np.ndarray,
+             align: bool = True, with_scale: bool = False):
+    """Absolute trajectory error after optional Umeyama alignment — the TUM
+    evaluation metric."""
+    est = np.asarray(est_positions, np.float64)
+    gt = np.asarray(gt_positions, np.float64)
+    assert est.shape == gt.shape
+    if align:
+        mu_e, mu_g = est.mean(0), gt.mean(0)
+        E, G = est - mu_e, gt - mu_g
+        W = G.T @ E / len(est)
+        U, d, Vt = np.linalg.svd(W)
+        S = np.eye(3)
+        if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+            S[2, 2] = -1
+        R = U @ S @ Vt
+        if with_scale:
+            var_e = (E * E).sum() / len(est)
+            s = np.trace(np.diag(d) @ S) / max(var_e, 1e-12)
+        else:
+            s = 1.0
+        t = mu_g - s * R @ mu_e
+        est = (s * (R @ est.T)).T + t
+    err = np.linalg.norm(est - gt, axis=1)
+    return float(np.sqrt((err ** 2).mean()))
