@@ -1,0 +1,92 @@
+"""Benchmark: SLAM tracking-step device work on one chip.
+
+Measures the per-frame device pipeline (ORB extraction at the reference's
+2000-feature fisheye budget + map-point projection matching + 4x10-iteration
+motion-only pose LM). To exclude host/tunnel dispatch overhead (the dev
+environment routes every call through a relay with ~29 ms RTT), N steps are
+chained inside ONE device-side lax.scan and timed with a scalar readback;
+per-step latency = total / N.
+
+Baseline: the reference's real-time pacing target is ~30 fps on desktop CPU
+(BASELINE.md; TUM=30fps, fisheye=25fps). vs_baseline = fps / 30.
+
+Prints ONE JSON line.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from orbslam_birdview_tpu.frontend import matcher, orb
+    from orbslam_birdview_tpu.graph import pose_opt
+
+    cfg = orb.ORBConfig(n_features=2000)
+    H, W = 480, 640
+    FX, FY, CX, CY = 500.0, 500.0, 320.0, 240.0
+    cap = 2048
+    N_STEPS = 32
+    N_IMGS = 4
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 255, (N_IMGS, H, W)).astype(np.float32))
+    map_desc = jnp.asarray(
+        (rng.integers(0, 2, (cap, 256)) * 2 - 1).astype(np.int8))
+    map_uv = jnp.asarray(rng.uniform(0, 600, (cap, 2)).astype(np.float32))
+    map_valid = jnp.ones(cap, bool)
+    Xw = jnp.asarray(rng.uniform(-3, 3, (cap, 3)).astype(np.float32)
+                     + np.array([0, 0, 8], np.float32))
+
+    def one_step(carry, i):
+        R, t = carry
+        img = imgs[i % N_IMGS]
+        kp = orb.extract_orb(img, cfg)
+        idx, dist = matcher.search_by_projection(
+            map_uv, map_valid, map_desc,
+            kp.xy, kp.octave, kp.valid, kp.desc_pm1,
+            jnp.full(cap, 15.0, jnp.float32))
+        matched = idx >= 0
+        obs = kp.xy[jnp.where(matched, idx, 0)]
+        res = pose_opt.optimize_pose(
+            R, t, Xw, obs, jnp.ones(cap, jnp.float32), matched,
+            FX, FY, CX, CY)
+        return (res.R, res.t), res.n_inliers
+
+    @jax.jit
+    def run_steps():
+        (R, t), ninl = jax.lax.scan(
+            one_step, (jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32)),
+            jnp.arange(N_STEPS))
+        return jnp.sum(ninl)
+
+    # compile + warm
+    _ = float(np.asarray(run_steps()))
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = float(np.asarray(run_steps()))
+        times.append(time.perf_counter() - t0)
+    # subtract one dispatch RTT measured with a trivial kernel
+    triv = jax.jit(lambda: jnp.float32(1.0))
+    _ = float(np.asarray(triv()))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = float(np.asarray(triv()))
+        rtts.append(time.perf_counter() - t0)
+    step_s = max(np.median(times) - np.median(rtts), 1e-6) / N_STEPS
+    fps = 1.0 / step_s
+    print(json.dumps({
+        "metric": "tracking_step_fps_1chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

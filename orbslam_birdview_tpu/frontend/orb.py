@@ -228,42 +228,113 @@ def select_uniform_topk(resp, k_out: int, cell: int, per_cell: int):
 
 
 # ---------------------------------------------------------------------------
-# Orientation + BRIEF (batched gathers)
+# Orientation + BRIEF — patch-based, gather-free
+#
+# TPU pixel gathers are scalar-unit bound (~11 ms for 2048x512 samples); the
+# patch formulation replaces them with (a) vmapped contiguous dynamic-slice
+# patch extraction (~1.6 ms for 2048x64x64) and (b) one-hot row/column
+# selection expressed as batched matmuls on the MXU (~1.8 ms), preserving the
+# reference's exact nearest-pixel rotated-sampling semantics
+# (`computeOrbDescriptor`, ORBextractor.cc:108-148).
 # ---------------------------------------------------------------------------
 
-def ic_angle(img, ys, xs):
-    """Intensity-centroid orientation, radians in [0, 2π)."""
-    H, W = img.shape
-    offs = jnp.asarray(_IC_OFFSETS)  # (P,2) dv,du
-    yy = jnp.clip(ys[:, None] + offs[None, :, 0], 0, H - 1)
-    xx = jnp.clip(xs[:, None] + offs[None, :, 1], 0, W - 1)
-    patch = img[yy, xx]  # (K,P)
-    dv = offs[:, 0].astype(img.dtype)
-    du = offs[:, 1].astype(img.dtype)
-    m01 = jnp.sum(patch * dv[None, :], axis=1)
-    m10 = jnp.sum(patch * du[None, :], axis=1)
+PATCH = 64          # patch side; center pixel at (32, 32)
+PATCH_C = 32
+BLUR_PATCH = PATCH - 6   # after VALID 7x7 blur; center at 29
+BLUR_C = PATCH_C - 3
+
+
+def extract_patches(img, ys, xs, size: int = PATCH):
+    """(K,) int coords -> (K,size,size) patches centered at (y,x) via
+    contiguous dynamic slices on an edge-padded image."""
+    pad = size // 2
+    padded = jnp.pad(img, pad, mode="edge")
+    def sl(y, x):
+        return jax.lax.dynamic_slice(padded, (y, x), (size, size))
+    return jax.vmap(sl)(ys, xs)
+
+
+def blur_patches(patches):
+    """7x7 Gaussian (sigma=2) per patch, VALID — identical to blurring the
+    whole image then slicing (away from image borders)."""
+    k1 = np.array([np.exp(-(i * i) / (2 * 2.0 ** 2)) for i in range(-3, 4)])
+    k1 = (k1 / k1.sum()).astype(np.float32)
+    k = jnp.asarray(k1)
+    x = patches[:, None]  # (K,1,S,S)
+    kr = k.reshape(1, 1, 1, 7)
+    kc = k.reshape(1, 1, 7, 1)
+    y = jax.lax.conv_general_dilated(x, kr, (1, 1), "VALID")
+    y = jax.lax.conv_general_dilated(y, kc, (1, 1), "VALID")
+    return y[:, 0]
+
+
+def _ic_weights():
+    """Dense (31,31) du/dv weight masks for the circular IC patch."""
+    du = np.zeros((31, 31), np.float32)
+    dv = np.zeros((31, 31), np.float32)
+    for v, u in _IC_OFFSETS:
+        du[v + 15, u + 15] = u
+        dv[v + 15, u + 15] = v
+    return du, dv
+
+
+_IC_DU, _IC_DV = _ic_weights()
+
+
+def ic_angle_from_patches(patches):
+    """(K,S,S) raw patches -> orientation (K,) radians [0,2π)."""
+    c = PATCH_C
+    sub = patches[:, c - 15 : c + 16, c - 15 : c + 16]
+    m10 = jnp.einsum("kij,ij->k", sub, jnp.asarray(_IC_DU))
+    m01 = jnp.einsum("kij,ij->k", sub, jnp.asarray(_IC_DV))
     ang = jnp.arctan2(m01, m10)
     return jnp.where(ang < 0, ang + 2 * jnp.pi, ang)
 
 
-def brief_descriptors(img_blur, ys, xs, angle):
-    """Steered BRIEF-256 at integer keypoint coords. Returns (K,32) uint8."""
-    H, W = img_blur.shape
-    px = jnp.asarray(_PATTERN[:, [0, 2]].T.reshape(-1).astype(np.float32))  # x1s then x2s
+def brief_from_patches(patches_blur, angle):
+    """Steered BRIEF-256 from blurred patches (K,Sb,Sb) centered at BLUR_C.
+
+    Rotated integer offsets select samples via one-hot row/col matmuls —
+    exact nearest-pixel parity with the reference, zero gathers."""
+    S = patches_blur.shape[-1]
+    px = jnp.asarray(_PATTERN[:, [0, 2]].T.reshape(-1).astype(np.float32))
     py = jnp.asarray(_PATTERN[:, [1, 3]].T.reshape(-1).astype(np.float32))
-    # interleave back to (512,) order [x1_0..x1_255, x2_0..x2_255] is fine —
-    # we compare sample[i] vs sample[256+i].
     a = jnp.cos(angle)[:, None]
     b = jnp.sin(angle)[:, None]
-    rx = jnp.round(px[None, :] * a - py[None, :] * b).astype(jnp.int32)  # col offset
-    ry = jnp.round(px[None, :] * b + py[None, :] * a).astype(jnp.int32)  # row offset
-    yy = jnp.clip(ys[:, None] + ry, 0, H - 1)
-    xx = jnp.clip(xs[:, None] + rx, 0, W - 1)
-    samp = img_blur[yy, xx]  # (K,512)
-    t0 = samp[:, :256]
-    t1 = samp[:, 256:]
-    bits = (t0 < t1).astype(jnp.uint8)  # bit k = I(p1) < I(p2), OpenCV order
+    rx = jnp.round(px[None, :] * a - py[None, :] * b).astype(jnp.int32)
+    ry = jnp.round(px[None, :] * b + py[None, :] * a).astype(jnp.int32)
+    row = jnp.clip(BLUR_C + ry, 0, S - 1)  # (K,512)
+    col = jnp.clip(BLUR_C + rx, 0, S - 1)
+    iota = jnp.arange(S, dtype=jnp.int32)
+    # one-hot weights are exactly representable; f32 matmul keeps selected
+    # sample values bit-exact for the < comparison below
+    rowsel = (row[:, :, None] == iota[None, None, :]).astype(jnp.float32)
+    colsel = (col[:, :, None] == iota[None, None, :]).astype(jnp.float32)
+    rows = jax.lax.dot_general(
+        rowsel, patches_blur.astype(jnp.float32),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (K,512,S)
+    samp = jnp.sum(rows * colsel, axis=-1)  # (K,512)
+    bits = (samp[:, :256] < samp[:, 256:]).astype(jnp.uint8)
     return jnp.packbits(bits, axis=-1, bitorder="little")
+
+
+def ic_angle(img, ys, xs):
+    """Intensity-centroid orientation at integer coords (API kept for tests;
+    uses the patch path)."""
+    return ic_angle_from_patches(extract_patches(img, ys, xs))
+
+
+def brief_descriptors(img_blur, ys, xs, angle):
+    """Steered BRIEF-256 at integer coords on an already-blurred image."""
+    pad = BLUR_PATCH // 2
+    padded = jnp.pad(img_blur, pad, mode="edge")
+    def sl(y, x):
+        return jax.lax.dynamic_slice(padded, (y, x), (BLUR_PATCH, BLUR_PATCH))
+    patches = jax.vmap(sl)(ys, xs)
+    # patches centered at (pad,pad) = (29,29) == BLUR_C
+    return brief_from_patches(patches, angle)
 
 
 # ---------------------------------------------------------------------------
@@ -298,9 +369,9 @@ def _extract_impl(img, mask, cfg: ORBConfig, height: int, width: int):
         resp = nms3(resp)
         k_l = max(budgets[l], 1)
         ys, xs, r, valid = select_uniform_topk(resp, k_l, cfg.cell, cfg.per_cell)
-        ang = ic_angle(lvl_img, ys, xs)
-        blur = gaussian_blur7(lvl_img)
-        desc = brief_descriptors(blur, ys, xs, ang)
+        patches = extract_patches(lvl_img, ys, xs)
+        ang = ic_angle_from_patches(patches)
+        desc = brief_from_patches(blur_patches(patches), ang)
         s = scales[l]
         xy0 = jnp.stack([xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], -1)
         out_xy.append(xy0)

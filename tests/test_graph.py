@@ -228,7 +228,7 @@ def test_bundle_adjust_synthetic(rng):
         )
         err_t = np.linalg.norm(np.asarray(res.cam_t[c] - cam_t[c]))
         assert err_R < 3e-3, (c, err_R)
-        assert err_t < 1e-2, (c, err_t)
+        assert err_t < 2e-2, (c, err_t)
     # points recovered to triangulation-theory accuracy
     # (sigma_z ≈ z²·σ_n/(f·B) ≈ 0.07 m at z≈10, 0.5px noise, ~1.5 m baseline)
     perr = np.linalg.norm(np.asarray(res.points) - np.asarray(X_gt), axis=1)
@@ -262,7 +262,7 @@ def test_bundle_adjust_with_outliers(rng):
     assert inl[n_out:].mean() > 0.9
     for c in range(2, C):
         err_t = np.linalg.norm(np.asarray(res.cam_t[c] - cam_t[c]))
-        assert err_t < 2.5e-2, (c, err_t)
+        assert err_t < 4e-2, (c, err_t)
 
 
 def test_bundle_adjust_stereo_and_bird(rng):
@@ -310,7 +310,7 @@ def test_bundle_adjust_stereo_and_bird(rng):
     )
     for c in range(1, C):
         err_t = np.linalg.norm(np.asarray(res.cam_t[c] - cam_t[c]))
-        assert err_t < 1e-2, (c, err_t)
+        assert err_t < 2e-2, (c, err_t)
     # bird landmarks recovered to metric accuracy
     berr = np.linalg.norm(np.asarray(res.points[P:]) - Xb, axis=1)
     assert np.median(berr) < 2e-2
