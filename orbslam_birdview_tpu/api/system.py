@@ -18,11 +18,20 @@ from .config import SlamConfig
 
 
 class System:
-    def __init__(self, cfg: SlamConfig):
+    def __init__(self, cfg: SlamConfig, vocabulary=None,
+                 enable_loop_closing: bool = True):
         self.cfg = cfg
         self.store = MapStore(max_kf=cfg.max_keyframes)
         self.mapper = LocalMapper(cfg, self.store)
         self.tracker = Tracker(cfg, self.store, self.mapper)
+        self.loop_closer = None
+        if enable_loop_closing:
+            from ..pipeline.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(cfg, self.store, self.mapper,
+                                          vocabulary=vocabulary)
+            self.mapper.loop_closer = self.loop_closer
+            self.tracker.loop_closer = self.loop_closer
         self.localization_only = False
 
     # ------------------------------------------------------------------
@@ -66,12 +75,48 @@ class System:
 
     def reset(self):
         cfg = self.cfg
+        voc = self.loop_closer.voc if self.loop_closer is not None else None
         self.store = MapStore(max_kf=cfg.max_keyframes)
         self.mapper = LocalMapper(cfg, self.store)
         self.tracker = Tracker(cfg, self.store, self.mapper)
+        if self.loop_closer is not None:
+            from ..pipeline.loop_closing import LoopCloser
+
+            self.loop_closer = LoopCloser(cfg, self.store, self.mapper,
+                                          vocabulary=voc)
+            self.mapper.loop_closer = self.loop_closer
+            self.tracker.loop_closer = self.loop_closer
 
     def shutdown(self):
         pass  # no threads to join — kept for API parity
+
+    # ------------------------------------------------------------------
+    # map checkpoint / resume (reference TODO, System.h:125-127)
+    # ------------------------------------------------------------------
+    def save_map(self, path: str):
+        self.store.save(path)
+
+    def load_map(self, path: str):
+        """Load a saved map and switch to localization against it."""
+        self.store = MapStore.load(path)
+        self.mapper = LocalMapper(self.cfg, self.store)
+        self.tracker = Tracker(self.cfg, self.store, self.mapper)
+        if self.loop_closer is not None:
+            from ..pipeline.loop_closing import LoopCloser
+
+            voc = self.loop_closer.voc
+            self.loop_closer = LoopCloser(self.cfg, self.store, self.mapper,
+                                          vocabulary=voc)
+            self.mapper.loop_closer = self.loop_closer
+            self.tracker.loop_closer = self.loop_closer
+            if self.loop_closer.kfdb is not None:
+                for kf in self.store.valid_kf_ids():
+                    self.loop_closer.kfdb.add_keyframe(
+                        int(kf), self.loop_closer._kp_of(int(kf)))
+        # a loaded map means we must relocalize
+        from ..pipeline.tracking import LOST
+
+        self.tracker.state = LOST
 
     # ------------------------------------------------------------------
     # state queries

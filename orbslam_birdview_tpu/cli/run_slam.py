@@ -1,0 +1,95 @@
+"""Dataset CLI driver — the reference's example mains
+(`Examples/Monocular/mono_tum.cc` etc.) as one configurable entry point.
+
+Usage:
+  python -m orbslam_birdview_tpu.cli.run_slam --dataset tum_mono \
+      --root /data/rgbd_dataset_freiburg1_xyz --config TUM1.yaml \
+      --out traj.txt
+
+Prints per-frame timing stats at exit (median/mean, like
+`mono_fisheye.cc:152-161`).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", required=True,
+                    choices=["tum_mono", "tum_rgbd", "kitti_mono",
+                             "kitti_stereo", "euroc", "fisheye_bird"])
+    ap.add_argument("--root", required=True)
+    ap.add_argument("--config", default=None, help="ORB-SLAM2-style YAML")
+    ap.add_argument("--out", default="trajectory_tum.txt")
+    ap.add_argument("--out-kf", default=None)
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--no-loop-closing", action="store_true")
+    args = ap.parse_args(argv)
+
+    from ..api.config import SlamConfig
+    from ..api.system import System
+    from . import datasets
+
+    sensor = {
+        "tum_mono": "mono", "tum_rgbd": "rgbd", "kitti_mono": "mono",
+        "kitti_stereo": "stereo", "euroc": "mono", "fisheye_bird": "mono_bird",
+    }[args.dataset]
+    if args.config:
+        cfg = SlamConfig.from_yaml(args.config, sensor=sensor)
+    else:
+        cfg = SlamConfig(sensor=sensor)
+    if sensor == "mono_bird" and cfg.birdview is None:
+        from ..core.camera import BirdviewCamera
+
+        cfg.birdview = BirdviewCamera()
+
+    loader = {
+        "tum_mono": lambda: datasets.load_tum_mono(args.root),
+        "tum_rgbd": lambda: datasets.load_tum_rgbd(
+            args.root, depth_factor=cfg.depth_map_factor),
+        "kitti_mono": lambda: datasets.load_kitti(args.root, stereo=False),
+        "kitti_stereo": lambda: datasets.load_kitti(args.root, stereo=True),
+        "euroc": lambda: datasets.load_euroc(args.root),
+        "fisheye_bird": lambda: datasets.load_fisheye_birdview(args.root),
+    }[args.dataset]()
+
+    sys_ = System(cfg, enable_loop_closing=not args.no_loop_closing)
+    times = []
+    n = 0
+    for rec in loader:
+        t0 = time.perf_counter()
+        if rec.depth is not None:
+            sys_.track_rgbd(rec.img, rec.depth, rec.timestamp)
+        elif rec.right is not None:
+            sys_.track_stereo(rec.img, rec.right, rec.timestamp)
+        elif rec.bird is not None:
+            sys_.track_monocular_with_birdview(
+                rec.img, rec.bird, rec.bird_mask, rec.timestamp)
+        else:
+            sys_.track_monocular(rec.img, rec.timestamp)
+        times.append(time.perf_counter() - t0)
+        n += 1
+        if n % 50 == 0:
+            print(f"frame {n}: state={sys_.get_tracking_state()} "
+                  f"kfs={sys_.n_keyframes()} mps={sys_.n_map_points()}")
+        if args.max_frames and n >= args.max_frames:
+            break
+
+    times = np.array(times)
+    print(f"processed {n} frames; median {np.median(times)*1e3:.1f} ms, "
+          f"mean {times.mean()*1e3:.1f} ms")
+    if args.dataset.startswith("kitti"):
+        sys_.save_trajectory_kitti(args.out)
+    else:
+        sys_.save_trajectory_tum(args.out)
+    if args.out_kf:
+        sys_.save_keyframe_trajectory_tum(args.out_kf)
+    print(f"saved trajectory to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,7 @@ def vee(W):
 def _sinc_terms(theta2):
     """Return (A, B, C) = sin t/t, (1-cos t)/t^2, (t - sin t)/t^3 with Taylor
     fallbacks near zero. theta2 is t^2."""
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-14))
     small = theta2 < _EPS
     safe = jnp.where(small, jnp.ones_like(theta), theta)
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(safe) / safe)
@@ -68,11 +68,16 @@ def so3_log(R):
     q = rot_to_quat(R)  # canonical sign, q_w >= 0 -> theta in [0, pi]
     qw = q[..., 0]
     qv = q[..., 1:]
-    nv = jnp.linalg.norm(qv, axis=-1)
-    small = nv < 1e-7
-    safe_nv = jnp.where(small, jnp.ones_like(nv), nv)
-    theta = 2.0 * jnp.arctan2(nv, qw)
-    scale = jnp.where(small, 2.0 / jnp.maximum(qw, 1e-7), theta / safe_nv)
+    # every intermediate must be NaN-free for BOTH branches: reverse-mode
+    # autodiff evaluates the untaken branch and 0*NaN = NaN (pose-graph
+    # Jacobians differentiate through here at exactly-zero residuals)
+    nv2 = jnp.sum(qv * qv, axis=-1)
+    safe_nv = jnp.sqrt(jnp.maximum(nv2, 1e-14))
+    theta = 2.0 * jnp.arctan2(safe_nv, qw)
+    qw_safe = jnp.maximum(qw, 1e-7)
+    general = theta / safe_nv
+    taylor = 2.0 / qw_safe - 2.0 * nv2 / (3.0 * qw_safe ** 3)
+    scale = jnp.where(nv2 > 1e-12, general, taylor)
     return scale[..., None] * qv
 
 
@@ -88,7 +93,7 @@ def so3_left_jacobian(w):
 
 def so3_left_jacobian_inv(w):
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-14))
     W = hat(w)
     W2 = W @ W
     small = theta2 < _EPS
@@ -238,7 +243,7 @@ def sim3_exp(xi):
     R = so3_exp(phi)
     s = jnp.exp(sigma)
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-14))
     W = hat(phi)
     W2 = W @ W
     I = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)

@@ -322,6 +322,46 @@ class MapStore:
         self.kf_parent[children] = self.kf_parent[kf]
 
     # ------------------------------------------------------------------
+    # checkpoint / resume — the reference left SaveMap/LoadMap as a TODO
+    # (`include/System.h:125-127`); flat arrays make it trivial
+    # ------------------------------------------------------------------
+    _SCALARS = ("n_kf", "n_mp", "n_bmp", "big_change_idx")
+
+    def save(self, path: str):
+        arrays = {
+            k: v for k, v in self.__dict__.items()
+            if isinstance(v, np.ndarray)
+        }
+        meta = {k: getattr(self, k) for k in self._SCALARS}
+        meta["max_kf"] = self.max_kf
+        meta["max_mp"] = self.max_mp
+        meta["max_bmp"] = self.max_bmp
+        meta["kp_cap"] = self.kp_cap
+        meta["bird_cap"] = self.bird_cap
+        meta["loop_edges"] = np.array(self.loop_edges or np.zeros((0, 2)),
+                                      np.int64).reshape(-1, 2)
+        np.savez_compressed(path, __meta_keys__=np.array(list(meta.keys())),
+                            **{f"meta_{k}": np.asarray(v) for k, v in meta.items()},
+                            **arrays)
+
+    @staticmethod
+    def load(path: str) -> "MapStore":
+        z = np.load(path, allow_pickle=False)
+        store = MapStore(
+            max_kf=int(z["meta_max_kf"]), max_mp=int(z["meta_max_mp"]),
+            max_bmp=int(z["meta_max_bmp"]), kp_cap=int(z["meta_kp_cap"]),
+            bird_cap=int(z["meta_bird_cap"]))
+        for k in z.files:
+            if k.startswith("meta_") or k == "__meta_keys__":
+                continue
+            setattr(store, k, z[k])
+        for k in MapStore._SCALARS:
+            setattr(store, k, int(z[f"meta_{k}"]))
+        store.loop_edges = [tuple(int(x) for x in row)
+                            for row in z["meta_loop_edges"]]
+        return store
+
+    # ------------------------------------------------------------------
     # queries
     # ------------------------------------------------------------------
     def kf_center(self, kf):

@@ -151,10 +151,11 @@ def transform(voc: Vocabulary, desc_pm1, valid, levels_up: int = 2):
 
 
 def l1_score(bow_a, bow_b):
-    """DBoW2 L1 score for L1-normalized vectors: 2 Σ min = in [0,1]."""
-    return 2.0 * jnp.sum(jnp.minimum(bow_a, bow_b)) - 0.0
+    """DBoW2 L1 score for L1-normalized vectors:
+    s = 1 − ½|v−w|₁ = Σ min(v,w), in [0,1]."""
+    return jnp.sum(jnp.minimum(bow_a, bow_b))
 
 
 def l1_score_matrix(bow_a, bows_b):
     """bow_a (V,) vs bows_b (M,V) -> (M,)."""
-    return 2.0 * jnp.sum(jnp.minimum(bow_a[None, :], bows_b), axis=1)
+    return jnp.sum(jnp.minimum(bow_a[None, :], bows_b), axis=1)

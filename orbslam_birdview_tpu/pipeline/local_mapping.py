@@ -182,12 +182,16 @@ class LocalMapper:
                                            np.array([mp_id]))
 
     # ------------------------------------------------------------------
-    def _gather_ba_problem(self, kf_window, fixed_window, pad_to=None):
+    def _gather_ba_problem(self, kf_window, fixed_window, pad_to=None,
+                           point_cap=None, edge_cap=None):
         """Extract padded BA arrays for the given keyframe window. pad_to
-        fixes the camera count so the jitted BA compiles once."""
+        fixes the camera count so the jitted BA compiles once; point/edge
+        caps default to the local-BA buckets."""
         store = self.store
         cfg = self.cfg.mapping
         cam = self.cfg.camera
+        point_cap = point_cap or cfg.local_ba_point_cap
+        edge_cap = edge_cap or cfg.local_ba_edge_cap
         all_kfs = np.concatenate([kf_window, fixed_window]).astype(np.int64)
         n_real = len(all_kfs)
         C = pad_to or n_real
@@ -195,15 +199,15 @@ class LocalMapper:
         # landmarks observed by the window
         mp = store.kf_kp_mp[kf_window]
         mp_ids = np.unique(mp[mp >= 0])
-        mp_ids = mp_ids[store.mp_valid[mp_ids]][: cfg.local_ba_point_cap]
+        mp_ids = mp_ids[store.mp_valid[mp_ids]][: point_cap]
         n_mp = len(mp_ids)
         # bird landmarks
         bmp = store.kf_bird_mp[kf_window]
         bmp_ids = np.unique(bmp[bmp >= 0])
         bmp_ids = bmp_ids[store.bmp_valid[bmp_ids]]
-        bmp_ids = bmp_ids[: max(cfg.local_ba_point_cap - n_mp, 0)]
+        bmp_ids = bmp_ids[: max(point_cap - n_mp, 0)]
         n_bmp = len(bmp_ids)
-        P = cfg.local_ba_point_cap
+        P = point_cap
         points = np.zeros((P, 3), np.float32)
         points[:n_mp] = store.mp_pos[mp_ids]
         points[n_mp : n_mp + n_bmp] = store.bmp_pos[bmp_ids]
@@ -283,7 +287,7 @@ class LocalMapper:
                 jnp.asarray(np.pad(np.ones(n, bool), (0, pad))),
             ), n
 
-        cap = cfg.local_ba_edge_cap
+        cap = edge_cap
         mono_es, n_mono = mk_edges(e_cam, e_pt, e_obs, e_info, 2, cap)
         stereo_es, n_st = mk_edges(s_cam, s_pt, s_obs, s_info, 3, cap // 4)
         bird_es, n_bird = mk_edges(b_cam, b_pt, b_obs, b_info, 3, cap // 4)
@@ -379,6 +383,49 @@ class LocalMapper:
         store.mp_pos[mp_ids] = pts_out[:n_mp]
         if n_bmp:
             store.bmp_pos[bmp_ids] = pts_out[n_mp : n_mp + n_bmp]
+
+    # ------------------------------------------------------------------
+    def global_ba(self, iters=(5, 5)):
+        """Full-map BA: ALL keyframes and landmarks, only KF0 fixed
+        (`GlobalBundleAdjustemntWithBirdview`, OptimizerBirdview.cc:24-297).
+        Shapes are bucketed to powers of two to bound recompiles."""
+        store = self.store
+        cam = self.cfg.camera
+        valid = store.valid_kf_ids()
+        if len(valid) < 2:
+            return
+        # bucket the camera/point/edge counts to powers of two
+        C = 1 << max(int(np.ceil(np.log2(len(valid)))), 2)
+        n_pts = int(store.mp_valid.sum() + store.bmp_valid.sum())
+        point_cap = 1 << max(int(np.ceil(np.log2(max(n_pts, 1)))), 8)
+        n_edges = int((store.kf_kp_mp[: store.n_kf] >= 0).sum()
+                      + (store.kf_bird_mp[: store.n_kf] >= 0).sum())
+        edge_cap = 1 << max(int(np.ceil(np.log2(max(n_edges, 1)))), 10)
+        window = valid
+        (all_kfs, cam_R, cam_t, fixed, cam_valid, points, pvalid,
+         mono_es, stereo_es, bird_es, mp_ids, bmp_ids, n_mp, n_bmp) = \
+            self._gather_ba_problem(window, np.zeros(0, np.int64), pad_to=C,
+                                    point_cap=point_cap, edge_cap=edge_cap)
+        # only anchor KF0 (fixed already marks padding + kf0)
+        fixed_np = np.asarray(fixed).copy()
+        fixed_np[: len(window)] = False
+        for i, k in enumerate(all_kfs):
+            if int(k) == 0:
+                fixed_np[i] = True
+        res = ba.bundle_adjust(
+            cam_R, cam_t, jnp.asarray(fixed_np), cam_valid, points, pvalid,
+            mono_es, stereo_es, bird_es,
+            cam.fx, cam.fy, cam.cx, cam.cy, bf=cam.bf,
+            iters_phase1=iters[0], iters_phase2=iters[1],
+        )
+        nw = len(window)
+        store.kf_R[window] = np.asarray(res.cam_R[:nw])
+        store.kf_t[window] = np.asarray(res.cam_t[:nw])
+        pts_out = np.asarray(res.points)
+        store.mp_pos[mp_ids] = pts_out[:n_mp]
+        if n_bmp:
+            store.bmp_pos[bmp_ids] = pts_out[n_mp : n_mp + n_bmp]
+        store.big_change_idx += 1
 
     # ------------------------------------------------------------------
     def _cull_keyframes(self, kf: int):

@@ -1,0 +1,462 @@
+"""Loop closing: detection, Sim3 computation, loop correction, essential
+graph, global BA.
+
+Re-designs `/root/reference/src/LoopClosing.cc` as a synchronous pipeline
+stage:
+- DetectLoop (`:103-229`): BoW candidates above the min covisible score,
+  with the 3-consecutive consistent-group check
+- ComputeSim3 (`:231-400`): descriptor matching → batched RANSAC Horn Sim3
+  (solvers/sim3.py) → loop-map-point projection gate
+- CorrectLoop (`:402-585`): propagate the corrected Sim3 over the covisible
+  group, correct landmarks, fuse duplicates, optimize the Sim3 essential
+  graph (graph/pose_graph.py), then run a global BA
+- vocabulary bootstrap: the reference ships a pretrained 1M-word file; we
+  train a vocabulary from the map's own descriptors once enough keyframes
+  exist (or accept a pretrained one).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..api.config import SlamConfig
+from ..core import lie
+from ..frontend import matcher
+from ..frontend.keypoints import unpack_bits_to_pm1
+from ..graph import ba, pose_graph
+from ..mapping import vocab as vocab_mod
+from ..mapping.kfdb import KeyFrameDatabase
+from ..mapping.mapstore import INVALID, MapStore
+from ..solvers import sim3 as sim3_mod
+from . import device_ops
+
+
+def _sim3_apply(R, t, s, p):
+    return s * (p @ R.T) + t
+
+
+def _sim3_inv(R, t, s):
+    Rt = R.T
+    return Rt, -(Rt @ t) / s, 1.0 / s
+
+
+def _sim3_mul(Ra, ta, sa, Rb, tb, sb):
+    return Ra @ Rb, sa * (Ra @ tb) + ta, sa * sb
+
+
+class LoopCloser:
+    def __init__(self, cfg: SlamConfig, store: MapStore, mapper,
+                 vocabulary: Optional[vocab_mod.Vocabulary] = None,
+                 min_consistency: int = 3):
+        self.cfg = cfg
+        self.store = store
+        self.mapper = mapper
+        self.voc = vocabulary
+        self.kfdb: Optional[KeyFrameDatabase] = None
+        if vocabulary is not None:
+            self.kfdb = KeyFrameDatabase(vocabulary, store)
+        self.min_consistency = min_consistency
+        self.consistent_groups: list[tuple[set, int]] = []
+        self.last_loop_kf = -(10 ** 9)
+        self.rng_key = jax.random.PRNGKey(42)
+        self.n_loops_closed = 0
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self.rng_key, k = jax.random.split(self.rng_key)
+        return k
+
+    def _kp_of(self, kf: int):
+        from ..frontend.keypoints import Keypoints
+
+        store = self.store
+        u8 = store.kf_desc[kf]
+        return Keypoints(
+            xy=jnp.asarray(store.kf_kp_xy[kf]),
+            response=jnp.zeros(u8.shape[0]),
+            angle=jnp.asarray(store.kf_kp_angle[kf]),
+            octave=jnp.asarray(store.kf_kp_octave[kf]),
+            valid=jnp.asarray(store.kf_kp_valid[kf]),
+            desc_u8=jnp.asarray(u8),
+            desc_pm1=np.asarray(unpack_bits_to_pm1(jnp.asarray(u8))),
+        )
+
+    def _maybe_bootstrap_vocab(self):
+        store = self.store
+        if self.voc is not None or store.n_kf < 5:
+            return
+        descs = []
+        for kf in store.valid_kf_ids():
+            d = store.kf_desc[kf][store.kf_kp_valid[kf]]
+            descs.append(d)
+        all_d = np.concatenate(descs)
+        pm1 = np.asarray(unpack_bits_to_pm1(jnp.asarray(all_d)))
+        self.voc = vocab_mod.train_vocabulary(
+            pm1, branching=8, depth=3, seed=0, max_train=20000)
+        self.kfdb = KeyFrameDatabase(self.voc, store)
+        for kf in store.valid_kf_ids():
+            self.kfdb.add_keyframe(int(kf), self._kp_of(int(kf)))
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, kf: int) -> bool:
+        """Returns True if a loop was closed."""
+        self._maybe_bootstrap_vocab()
+        if self.kfdb is None:
+            return False
+        store = self.store
+        # register first so the keyframe's own BoW vector exists for the
+        # queries below (the query logic excludes self and covisible KFs)
+        self.kfdb.add_keyframe(kf, self._kp_of(kf))
+        if kf - self.last_loop_kf < 10 or store.n_kf < 12:
+            return False
+        candidates = self._detect_loop(kf)
+        closed = False
+        if len(candidates):
+            for cand in candidates:
+                res = self._compute_sim3(kf, int(cand))
+                if res is not None:
+                    S, loop_points = res
+                    self._correct_loop(kf, int(cand), S, loop_points)
+                    closed = True
+                    break
+        return closed
+
+    # ------------------------------------------------------------------
+    def _detect_loop(self, kf: int):
+        min_score = self.kfdb.min_covisible_score(kf)
+        cands = self.kfdb.detect_loop_candidates(kf, min_score)
+        if len(cands) == 0:
+            self.consistent_groups = []
+            return []
+        # 3-consecutive-detection consistency (`DetectLoop`, :168-225)
+        store = self.store
+        enough = []
+        new_groups: list[tuple[set, int]] = []
+        for c in cands:
+            group = set(
+                int(x) for x in store.covisible_kfs(int(c), top_n=30)
+            ) | {int(c)}
+            best = 0
+            for prev_set, count in self.consistent_groups:
+                if group & prev_set:
+                    best = max(best, count + 1)
+            new_groups.append((group, best))
+            if best >= self.min_consistency:
+                enough.append(int(c))
+        self.consistent_groups = new_groups
+        return enough
+
+    # ------------------------------------------------------------------
+    def _compute_sim3(self, kf: int, cand: int):
+        store = self.store
+        # descriptor match restricted to keypoints with landmarks
+        has_cur = (store.kf_kp_mp[kf] >= 0) & store.kf_kp_valid[kf]
+        has_cnd = (store.kf_kp_mp[cand] >= 0) & store.kf_kp_valid[cand]
+        cur_pm1 = unpack_bits_to_pm1(jnp.asarray(store.kf_desc[kf]))
+        cnd_pm1 = unpack_bits_to_pm1(jnp.asarray(store.kf_desc[cand]))
+        dist = matcher.hamming_matrix(cur_pm1, cnd_pm1,
+                                      jnp.asarray(has_cur),
+                                      jnp.asarray(has_cnd))
+        idx, _ = matcher.match_mutual(dist, max_dist=matcher.TH_LOW, ratio=0.75)
+        idx = np.asarray(idx)
+        m = idx >= 0
+        if m.sum() < 20:
+            return None
+        ki = np.nonzero(m)[0]
+        mp_cur = store.kf_kp_mp[kf][ki]
+        mp_cnd = store.kf_kp_mp[cand][idx[ki]]
+        ok = store.mp_valid[mp_cur] & store.mp_valid[mp_cnd]
+        ki, mp_cur, mp_cnd = ki[ok], mp_cur[ok], mp_cnd[ok]
+        n = len(ki)
+        if n < 20:
+            return None
+        p_cur = store.mp_pos[mp_cur] @ store.kf_R[kf].T + store.kf_t[kf]
+        p_cnd = store.mp_pos[mp_cnd] @ store.kf_R[cand].T + store.kf_t[cand]
+        cam = self.cfg.camera
+
+        def projf(Xc):
+            z = jnp.maximum(Xc[:, 2], 1e-6)
+            return jnp.stack([cam.fx * Xc[:, 0] / z + cam.cx,
+                              cam.fy * Xc[:, 1] / z + cam.cy], -1)
+
+        sig2_cur = self._sigma2_of(kf, ki)
+        sig2_cnd = self._sigma2_of(cand, np.asarray(idx)[ki])
+        cap = 512
+        npts = min(n, cap)
+        pad = cap - npts
+
+        def padp(x, d=None):
+            x = x[:npts]
+            return np.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+        fix_scale = self.cfg.sensor in ("stereo", "rgbd")
+        res = sim3_mod.sim3_ransac(
+            self._next_key(),
+            jnp.asarray(padp(p_cur)), jnp.asarray(padp(p_cnd)),
+            jnp.asarray(np.pad(np.ones(npts, bool), (0, pad))),
+            projf, projf,
+            max_err1=jnp.asarray(np.pad(9.21 * sig2_cur[:npts], (0, pad)), jnp.float32),
+            max_err2=jnp.asarray(np.pad(9.21 * sig2_cnd[:npts], (0, pad)), jnp.float32),
+            fix_scale=fix_scale, min_inliers=20,
+        )
+        if not bool(res.ok):
+            return None
+        # reprojection-based refinement (OptimizeSim3) — the RANSAC Horn
+        # scale is too loose to drive a loop correction
+        from ..graph.sim3_opt import optimize_sim3_two_frame
+
+        uv1 = store.kf_kp_xy[kf][ki]
+        uv2 = store.kf_kp_xy[cand][np.asarray(idx)[ki]]
+        Rr_, tr_, sr_, inl_, n_inl = optimize_sim3_two_frame(
+            res.R, res.t, res.s,
+            jnp.asarray(padp(p_cur)), jnp.asarray(padp(p_cnd)),
+            jnp.asarray(padp(uv1)), jnp.asarray(padp(uv2)),
+            jnp.asarray(np.pad(1.0 / sig2_cur[:npts], (0, pad)), jnp.float32),
+            jnp.asarray(np.pad(1.0 / sig2_cnd[:npts], (0, pad)), jnp.float32),
+            jnp.asarray(np.pad(np.ones(npts, bool), (0, pad))),
+            cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=fix_scale, iters=12,
+        )
+        if int(n_inl) < 20:
+            return None
+        S = (np.asarray(Rr_), np.asarray(tr_), float(sr_))
+        # loop-neighborhood projection gate (`ComputeSim3`, :355-397)
+        loop_kfs = np.concatenate(
+            [[cand], self.store.covisible_kfs(cand, top_n=10)])
+        mp = store.kf_kp_mp[loop_kfs]
+        loop_points = np.unique(mp[mp >= 0])
+        loop_points = loop_points[store.mp_valid[loop_points]]
+        if len(loop_points) < 40:
+            return None
+        # project through corrected Scw into the current keyframe
+        Rl, tl, sl = S
+        Scw_R, Scw_t, Scw_s = _sim3_mul(Rl, tl, sl,
+                                        store.kf_R[cand], store.kf_t[cand], 1.0)
+        pc = Scw_s * (loop_points_pos := store.mp_pos[loop_points]) @ Scw_R.T + Scw_t
+        pc = pc / Scw_s  # SE3-equivalent camera coords (divide by scale)
+        z = pc[:, 2]
+        u = cam.fx * pc[:, 0] / np.maximum(z, 1e-6) + cam.cx
+        v = cam.fy * pc[:, 1] / np.maximum(z, 1e-6) + cam.cy
+        vis = (z > 0.05) & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+        n_cap = 4096
+        sel = np.nonzero(vis)[0][:n_cap]
+        if len(sel) == 0:
+            return None
+        uv = np.zeros((n_cap, 2), np.float32)
+        uv[: len(sel)] = np.stack([u[sel], v[sel]], 1)
+        val = np.zeros(n_cap, bool)
+        val[: len(sel)] = True
+        ids_p = np.zeros(n_cap, np.int64)
+        ids_p[: len(sel)] = loop_points[sel]
+        idx2, _ = device_ops.match_projected(
+            jnp.asarray(uv), jnp.asarray(val),
+            jnp.asarray(store.mp_desc[ids_p]),
+            jnp.asarray(store.kf_kp_xy[kf]),
+            jnp.asarray(store.kf_kp_octave[kf]),
+            jnp.asarray(store.kf_kp_valid[kf]),
+            cur_pm1,
+            jnp.full(n_cap, 10.0, jnp.float32), None,
+            max_dist_th=matcher.TH_LOW,
+        )
+        n_matched = int((np.asarray(idx2) >= 0).sum())
+        if n_matched < 40:
+            return None
+        return S, loop_points
+
+    def _sigma2_of(self, kf: int, kp_idx):
+        lvl = self.store.kf_kp_octave[kf][kp_idx]
+        s2 = np.array([self.cfg.orb.scale_factor ** (2 * l)
+                       for l in range(self.cfg.orb.n_levels)], np.float32)
+        return s2[np.clip(lvl, 0, len(s2) - 1)]
+
+    # ------------------------------------------------------------------
+    def _correct_loop(self, kf: int, cand: int, S, loop_points):
+        store = self.store
+        Rl, tl, sl = S  # S_cur_cand: maps cand-camera into cur-camera (Sim3)
+        # corrected Sim3 world→cur
+        Scw = _sim3_mul(Rl, tl, sl, store.kf_R[cand], store.kf_t[cand], 1.0)
+
+        group = np.concatenate([[kf], store.covisible_kfs(kf, top_n=30)])
+        group = group.astype(np.int64)
+        old_poses = {int(i): (store.kf_R[i].copy(), store.kf_t[i].copy())
+                     for i in store.valid_kf_ids()}
+        corrected: dict[int, tuple] = {}
+        R_kf, t_kf = old_poses[kf]
+        for i in group:
+            Ri, ti = old_poses[int(i)]
+            # T_i_cur = T_iw * T_wc (uncorrected)
+            R_ic = Ri @ R_kf.T
+            t_ic = ti - R_ic @ t_kf
+            corrected[int(i)] = _sim3_mul(R_ic, t_ic, 1.0, *Scw)
+
+        # correct landmarks observed by the group via their owner's Sim3
+        done = np.zeros(store.max_mp, bool)
+        for i in group:
+            mp = store.kf_kp_mp[i]
+            ids = np.unique(mp[mp >= 0])
+            ids = ids[store.mp_valid[ids] & ~done[ids]]
+            if len(ids) == 0:
+                continue
+            done[ids] = True
+            Rc, tc, sc = corrected[int(i)]
+            Ro, to = old_poses[int(i)]
+            p_cam = store.mp_pos[ids] @ Ro.T + to
+            Rinv, tinv, sinv = _sim3_inv(Rc, tc, sc)
+            store.mp_pos[ids] = (sinv * (p_cam @ Rinv.T) + tinv).astype(np.float32)
+        # also correct bird landmarks of the group
+        doneb = np.zeros(store.max_bmp, bool)
+        for i in group:
+            bm = store.kf_bird_mp[i]
+            ids = np.unique(bm[bm >= 0])
+            ids = ids[store.bmp_valid[ids] & ~doneb[ids]] if len(ids) else ids
+            if len(ids) == 0:
+                continue
+            doneb[ids] = True
+            Rc, tc, sc = corrected[int(i)]
+            Ro, to = old_poses[int(i)]
+            p_cam = store.bmp_pos[ids] @ Ro.T + to
+            Rinv, tinv, sinv = _sim3_inv(Rc, tc, sc)
+            store.bmp_pos[ids] = (sinv * (p_cam @ Rinv.T) + tinv).astype(np.float32)
+
+        # write corrected SE3 poses (R, t/s)
+        for i, (Rc, tc, sc) in corrected.items():
+            store.kf_R[i] = Rc.astype(np.float32)
+            store.kf_t[i] = (tc / sc).astype(np.float32)
+
+        # fuse loop points into the current keyframe (replace duplicates)
+        self._fuse_loop_points(kf, loop_points)
+
+        # ---- essential graph -------------------------------------------
+        valid = store.valid_kf_ids()
+        K = len(valid)
+        slot = {int(k): i for i, k in enumerate(valid)}
+        vR = np.stack([store.kf_R[i] for i in valid])
+        vt = np.stack([store.kf_t[i] for i in valid])
+        vs = np.ones(K, np.float32)
+        for i in valid:
+            if int(i) in corrected:
+                Rc, tc, sc = corrected[int(i)]
+                vR[slot[int(i)]] = Rc
+                vt[slot[int(i)]] = tc
+                vs[slot[int(i)]] = sc
+        e_i, e_j, mR, mt, ms, e_w = [], [], [], [], [], []
+
+        def add_edge(a, b, weight, from_old=True):
+            if a not in slot or b not in slot:
+                return
+            Ra, ta = old_poses.get(a, (store.kf_R[a], store.kf_t[a]))
+            Rb, tb = old_poses.get(b, (store.kf_R[b], store.kf_t[b]))
+            # measurement maps a into b: S_ba = T_b T_a^-1 (pre-correction)
+            Rr = Rb @ Ra.T
+            tr = tb - Rr @ ta
+            e_i.append(slot[a]); e_j.append(slot[b])
+            mR.append(Rr); mt.append(tr); ms.append(1.0)
+            e_w.append(weight)
+
+        seen = set()
+        for i in valid:
+            i = int(i)
+            p = int(store.kf_parent[i])
+            if p >= 0 and store.kf_valid[p] and (min(i, p), max(i, p)) not in seen:
+                seen.add((min(i, p), max(i, p)))
+                add_edge(p, i, 1.0)
+            for nb in store.covisible_kfs(i, min_weight=100):
+                key = (min(i, int(nb)), max(i, int(nb)))
+                if key not in seen:
+                    seen.add(key)
+                    add_edge(int(nb), i, 1.0)
+        for a, b in store.loop_edges:
+            key = (min(a, b), max(a, b))
+            if key not in seen:
+                seen.add(key)
+                add_edge(a, b, 1.0)
+        # the new loop edge with the MEASURED Sim3 (cand -> kf)
+        e_i.append(slot[cand]); e_j.append(slot[kf])
+        mR.append(Rl); mt.append(tl); ms.append(sl)
+        e_w.append(1.0)
+
+        E = len(e_i)
+        fixed = np.zeros(K, bool)
+        fixed[slot[cand]] = True
+        R_out, t_out, s_out, cost = pose_graph.optimize_sim3_graph(
+            jnp.asarray(vR), jnp.asarray(vt), jnp.asarray(vs),
+            jnp.asarray(fixed),
+            jnp.asarray(np.array(e_i, np.int32)),
+            jnp.asarray(np.array(e_j, np.int32)),
+            jnp.asarray(np.stack(mR)), jnp.asarray(np.stack(mt)),
+            jnp.asarray(np.array(ms, np.float32)),
+            jnp.asarray(np.array(e_w, np.float32)), jnp.ones(E, bool),
+            n_iters=20,
+        )
+        R_out = np.asarray(R_out)
+        t_out = np.asarray(t_out)
+        s_out = np.asarray(s_out)
+        # correct all landmarks via their reference keyframe's graph delta
+        pre_R = vR.copy()
+        pre_t = vt.copy()
+        pre_s = vs.copy()
+        done = np.zeros(store.max_mp, bool)
+        for i in valid:
+            i = int(i)
+            si = slot[i]
+            mp = store.kf_kp_mp[i]
+            ids = np.unique(mp[mp >= 0])
+            ids = ids[store.mp_valid[ids] & ~done[ids]] if len(ids) else ids
+            if len(ids) == 0:
+                continue
+            done[ids] = True
+            p_cam = pre_s[si] * (store.mp_pos[ids] @ pre_R[si].T) + pre_t[si]
+            Rinv, tinv, sinv = _sim3_inv(R_out[si], t_out[si], s_out[si])
+            store.mp_pos[ids] = (sinv * (p_cam @ Rinv.T) + tinv).astype(np.float32)
+        for i in valid:
+            i = int(i)
+            si = slot[i]
+            store.kf_R[i] = R_out[si].astype(np.float32)
+            store.kf_t[i] = (t_out[si] / s_out[si]).astype(np.float32)
+
+        store.loop_edges.append((cand, kf))
+        self.last_loop_kf = kf
+        self.n_loops_closed += 1
+        store.big_change_idx += 1
+
+        # ---- global BA (stoppable thread in the reference; synchronous) --
+        self._global_ba(kf)
+
+    def _fuse_loop_points(self, kf: int, loop_points):
+        store = self.store
+        cam = self.cfg.camera
+        cap = 4096
+        ids = loop_points[:cap]
+        n = len(ids)
+        ids_p = np.pad(ids, (0, cap - n), constant_values=0)
+        pval = np.zeros(cap, bool)
+        pval[:n] = store.mp_valid[ids]
+        uv, z, ok = device_ops.project_points(
+            jnp.asarray(store.kf_R[kf]), jnp.asarray(store.kf_t[kf]),
+            jnp.asarray(store.mp_pos[ids_p]),
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height)
+        idx, _ = device_ops.match_projected(
+            uv, ok & jnp.asarray(pval), jnp.asarray(store.mp_desc[ids_p]),
+            jnp.asarray(store.kf_kp_xy[kf]),
+            jnp.asarray(store.kf_kp_octave[kf]),
+            jnp.asarray(store.kf_kp_valid[kf]),
+            unpack_bits_to_pm1(jnp.asarray(store.kf_desc[kf])),
+            jnp.full(cap, 4.0, jnp.float32), None, max_dist_th=matcher.TH_LOW)
+        idx = np.asarray(idx)
+        for fi in np.nonzero(idx >= 0)[0]:
+            mp_new = int(ids_p[fi])
+            tgt = int(idx[fi])
+            existing = store.kf_kp_mp[kf, tgt]
+            if existing == mp_new or not store.mp_valid[mp_new]:
+                continue
+            if existing >= 0 and store.mp_valid[existing]:
+                store.replace_point(int(existing), mp_new)
+            else:
+                store.add_observations(kf, np.array([tgt]), np.array([mp_new]))
+
+    def _global_ba(self, loop_kf: int, iters: int = 10):
+        """GlobalBundleAdjustemnt(WithBirdview) after a loop
+        (`RunGlobalBundleAdjustment`, LoopClosing.cc:645-758)."""
+        self.mapper.global_ba(iters=(iters // 2, iters - iters // 2))

@@ -637,7 +637,8 @@ class Tracker:
         (place recognition layer), else brute-force ranking by descriptor
         affinity to all KFs."""
         store = self.store
-        kfdb = getattr(self, "kfdb", None)
+        lc = getattr(self, "loop_closer", None)
+        kfdb = lc.kfdb if lc is not None else None
         if kfdb is not None:
             cands = kfdb.detect_relocalization_candidates(fd.kp)
             if len(cands):

@@ -122,6 +122,48 @@ class WallSequence:
         return depth.astype(np.float32)
 
 
+def render_box_view(cam: PinholeCamera, textures, R_cw: np.ndarray,
+                    t_cw: np.ndarray, box_half: float = 8.0,
+                    meters_per_tex: float = 0.01) -> np.ndarray:
+    """Ray-cast view of a textured square room (4 vertical walls at
+    x=±box_half, y=±box_half, world z vertical), one DISTINCT texture per
+    wall — a self-similar room would (correctly) trigger false loop
+    closures. Rotating cameras always see texture."""
+    if isinstance(textures, np.ndarray):
+        textures = [textures] * 4
+    R_wc = R_cw.T
+    p = -R_wc @ t_cw
+    us, vs = np.meshgrid(np.arange(cam.width, dtype=np.float64),
+                         np.arange(cam.height, dtype=np.float64))
+    d_cam = np.stack([(us - cam.cx) / cam.fx, (vs - cam.cy) / cam.fy,
+                      np.ones_like(us)], -1)
+    d_w = d_cam @ R_wc.T  # (H,W,3)
+    best_t = np.full(us.shape, np.inf)
+    img = np.zeros(us.shape, np.float32)
+    walls = [
+        (0, +box_half, 1, 2),    # x=+D, params (y, z)
+        (0, -box_half, 1, 2),
+        (1, +box_half, 0, 2),    # y=+D, params (x, z)
+        (1, -box_half, 0, 2),
+    ]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for tex, (axis, D, pa, pb) in zip(textures, walls):
+            size = tex.shape[0]
+            dv = d_w[..., axis]
+            t = (D - p[axis]) / dv
+            hit = (t > 0.1) & (t < best_t) & np.isfinite(t)
+            a = p[pa] + t * d_w[..., pa]
+            b = p[pb] + t * d_w[..., pb]
+            tx = np.where(hit, (a / meters_per_tex + size / 2) % size, 0.0)
+            ty = np.where(hit, (b / meters_per_tex + size / 2) % size, 0.0)
+            wall_img = cv2.remap(tex, tx.astype(np.float32),
+                                 ty.astype(np.float32), cv2.INTER_LINEAR,
+                                 borderMode=cv2.BORDER_WRAP)
+            img = np.where(hit, wall_img, img)
+            best_t = np.where(hit, t, best_t)
+    return img.astype(np.float32)
+
+
 @dataclass
 class BirdSequence:
     """Vehicle driving on a textured ground plane: front camera sees a wall
@@ -137,7 +179,7 @@ class BirdSequence:
 
     def __post_init__(self):
         self.ground = make_texture(self.seed, size=4096)
-        self.wall = make_texture(self.seed + 1)
+        self.wall = [make_texture(self.seed + 1 + i) for i in range(4)]
         # camera→base: camera z forward (+x base), x right (−y base),
         # y down (−z base); mounted at base origin, height 1.2 m
         self.R_bc = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float32)
@@ -170,24 +212,9 @@ class BirdSequence:
         x, y, yaw = self.gt_pose2d(i)
         bev = render_bev(self.bv, self.ground, x, y, yaw)
         R_cw, t_cw = self.gt_cam_pose(i)
-        # front camera sees the wall plane x=wall_x (world). Re-express as a
-        # plane z'=wall_x in a rotated world frame: world pts X=[wall_x,u,v].
-        # Build homography directly: X = [wall_x, a, b] for texture coords
-        # (a,b); cam point = R_cw X + t_cw.
-        size = self.wall.shape[0]
-        mpt = 0.01
-        A = np.array([[mpt, 0, -size / 2 * mpt],
-                      [0, mpt, -size / 2 * mpt],
-                      [0, 0, 1.0]])
-        # plane param: X = e_y * a + e_z_world * b + [wall_x,0,0]
-        B = np.column_stack([
-            R_cw[:, 1], R_cw[:, 2], R_cw[:, 0] * self.wall_x + t_cw
-        ]).astype(np.float64)
-        K = np.array([[self.cam.fx, 0, self.cam.cx],
-                      [0, self.cam.fy, self.cam.cy], [0, 0, 1]])
-        H = K @ B @ A
-        img = cv2.warpPerspective(self.wall, H, (self.cam.width, self.cam.height),
-                                  flags=cv2.INTER_LINEAR)
+        img = render_box_view(self.cam, self.wall,
+                              R_cw.astype(np.float64), t_cw.astype(np.float64),
+                              box_half=self.wall_x)
         return img, bev, (R_cw, t_cw)
 
 
