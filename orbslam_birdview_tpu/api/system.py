@@ -62,7 +62,11 @@ class System:
 
     def _track(self, img, timestamp, **kw):
         self.tracker.only_tracking = self.localization_only
-        return self.tracker.process(np.asarray(img), timestamp, **kw)
+        fd = self.tracker.process(np.asarray(img), timestamp, **kw)
+        if self.tracker.reset_requested and not self.localization_only:
+            # lost right after init — wipe and start over (src/Tracking.cc:600-609)
+            self.reset()
+        return fd
 
     # ------------------------------------------------------------------
     # mode switches (System.h:84-90)

@@ -337,6 +337,28 @@ def brief_descriptors(img_blur, ys, xs, angle):
     return brief_from_patches(patches, angle)
 
 
+def _subpixel_offsets(resp, ys, xs):
+    """1D parabola fits on the detector response around each corner.
+    Returns (dx, dy) in (−0.5, 0.5)."""
+    H, W = resp.shape
+    yc = jnp.clip(ys, 1, H - 2)
+    xc = jnp.clip(xs, 1, W - 2)
+
+    def fit(m, c, p):
+        denom = 2.0 * (2.0 * c - m - p)
+        off = (p - m) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1e-6)
+        return jnp.clip(off, -0.5, 0.5)
+
+    c = resp[yc, xc]
+    dx = fit(resp[yc, xc - 1], c, resp[yc, xc + 1])
+    dy = fit(resp[yc - 1, xc], c, resp[yc + 1, xc])
+    # NMS zeroes the neighbors of isolated maxima; only refine when both
+    # neighbors carry response
+    okx = (resp[yc, xc - 1] > 0) & (resp[yc, xc + 1] > 0)
+    oky = (resp[yc - 1, xc] > 0) & (resp[yc + 1, xc] > 0)
+    return jnp.where(okx, dx, 0.0), jnp.where(oky, dy, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # Full extractor
 # ---------------------------------------------------------------------------
@@ -366,14 +388,20 @@ def _extract_impl(img, mask, cfg: ORBConfig, height: int, width: int):
         if mask is not None:
             lvl_mask = resize_bilinear(mask.astype(jnp.float32), h, w) > 0.5
             resp = jnp.where(lvl_mask, resp, 0.0)
+        resp_raw = resp
         resp = nms3(resp)
         k_l = max(budgets[l], 1)
         ys, xs, r, valid = select_uniform_topk(resp, k_l, cfg.cell, cfg.per_cell)
         patches = extract_patches(lvl_img, ys, xs)
         ang = ic_angle_from_patches(patches)
         desc = brief_from_patches(blur_patches(patches), ang)
+        # subpixel refinement: quadratic fit on the response surface — the
+        # reference runs cv::cornerSubPix on the BEV stream
+        # (`src/Frame.cc:334-340`); we refine both streams
+        dx, dy = _subpixel_offsets(resp_raw, ys, xs)
         s = scales[l]
-        xy0 = jnp.stack([xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], -1)
+        xy0 = jnp.stack([(xs.astype(jnp.float32) + dx) * s,
+                         (ys.astype(jnp.float32) + dy) * s], -1)
         out_xy.append(xy0)
         out_resp.append(r)
         out_ang.append(ang)

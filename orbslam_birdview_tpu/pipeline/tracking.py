@@ -66,6 +66,10 @@ class Tracker:
         # localization-only mode (`Tracking::InformOnlyTracking`): track
         # against the frozen map, never insert keyframes
         self.only_tracking = False
+        self.reset_requested = False
+        from ..utils.profiling import StageTimer
+
+        self.timer = StageTimer()
 
         n_lv = cfg.orb.n_levels
         self.level_sigma2 = np.array(
@@ -156,6 +160,11 @@ class Tracker:
                 if not self.only_tracking and self._need_new_keyframe(fd):
                     self._create_keyframe(fd)
             else:
+                if self.state == OK and self.store.kf_valid.sum() <= 5:
+                    # lost soon after initialization: the map is unusable —
+                    # request a full system reset (`Tracking::Track`,
+                    # src/Tracking.cc:600-609)
+                    self.reset_requested = True
                 self.state = LOST
                 self.velocity = None
         self._record_trajectory(fd)

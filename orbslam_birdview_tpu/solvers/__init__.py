@@ -1,1 +1,1 @@
-from . import icp, initializer, pnp, ransac, sim3, twoview  # noqa: F401
+from . import epnp, icp, initializer, pnp, ransac, sim3, twoview  # noqa: F401

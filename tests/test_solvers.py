@@ -267,3 +267,21 @@ def test_initializer_rejects_small_baseline(rng):
         R_bc=jnp.eye(3), t_bc=jnp.zeros(3),
     )
     assert not bool(res.ok)
+
+
+def test_epnp_single_shot(rng):
+    """EPnP (Lepetit) parity solver: accuracy on clean correspondences."""
+    from orbslam_birdview_tpu.solvers import epnp as epnp_mod
+
+    n = 40
+    X = np.stack([rng.uniform(-4, 4, n), rng.uniform(-3, 3, n),
+                  rng.uniform(4, 10, n)], 1).astype(np.float32)
+    R_gt = np.asarray(lie.so3_exp(jnp.asarray([0.2, -0.1, 0.15], dtype=jnp.float32)))
+    t_gt = np.array([0.3, -0.2, 0.8], np.float32)
+    Xc = X @ R_gt.T + t_gt
+    xyn = Xc[:, :2] / Xc[:, 2:3] + rng.normal(0, 0.0005, (n, 2))
+    R, t = epnp_mod.epnp(jnp.asarray(X), jnp.asarray(xyn, jnp.float32))
+    errR = np.linalg.norm(np.asarray(lie.so3_log(jnp.asarray(R_gt.T) @ R)))
+    errt = np.linalg.norm(np.asarray(t) - t_gt)
+    assert errR < 5e-3, errR
+    assert errt < 3e-2, errt
