@@ -137,6 +137,20 @@ class System:
     def n_keyframes(self) -> int:
         return int(self.store.kf_valid.sum())
 
+    def get_tracked_map_points(self):
+        """Landmark ids associated to the last frame's keypoints
+        (`System::GetTrackedMapPoints`, System.h:129-133); −1 where none."""
+        fd = self.tracker.last_frame
+        if fd is None:
+            return np.zeros(0, np.int64)
+        return fd.kp_mp.copy()
+
+    def get_tracked_keypoints(self):
+        fd = self.tracker.last_frame
+        if fd is None:
+            return None
+        return np.asarray(fd.kp.xy), np.asarray(fd.kp.valid)
+
     # ------------------------------------------------------------------
     # trajectory export (System.cc:389-584)
     # ------------------------------------------------------------------

@@ -231,10 +231,22 @@ class MapStore:
         """Distinctive descriptor (min-median hamming,
         `MapPoint::ComputeDistinctiveDescriptors` `src/MapPoint.cc:242-307`)
         + viewing normal and scale-invariance band
-        (`UpdateNormalAndDepth` `:330-371`)."""
+        (`UpdateNormalAndDepth` `:330-371`).
+
+        One pass over the observation map for the whole batch (a per-point
+        scan is O(points × keyframes × kp_cap))."""
+        mp_ids = np.atleast_1d(np.asarray(mp_ids))
         obs_map = self.kf_kp_mp[: self.n_kf]
-        for mp_id in np.atleast_1d(mp_ids):
-            kfs, kps = np.nonzero(obs_map == mp_id)
+        member = np.zeros(self.max_mp + 1, bool)
+        member[mp_ids] = True
+        kfs_all, kps_all = np.nonzero(member[obs_map.clip(0)] & (obs_map >= 0))
+        target = obs_map[kfs_all, kps_all]
+        order = np.argsort(target, kind="stable")
+        kfs_all, kps_all, target = kfs_all[order], kps_all[order], target[order]
+        bounds = np.searchsorted(target, [mp_ids, mp_ids + 1])
+        for mp_id, lo, hi in zip(mp_ids, bounds[0], bounds[1]):
+            kfs = kfs_all[lo:hi]
+            kps = kps_all[lo:hi]
             if kfs.size == 0:
                 continue
             descs = self.kf_desc[kfs, kps]

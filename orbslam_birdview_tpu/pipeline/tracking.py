@@ -97,6 +97,11 @@ class Tracker:
     def make_frame(self, img, timestamp, bird_img=None, bird_mask=None,
                    depth_img=None) -> FrameData:
         kp = orb.extract_orb(jnp.asarray(img, jnp.float32), self.cfg.orb)
+        cam = self.cfg.camera
+        if any(abs(k) > 1e-12 for k in (cam.k1, cam.k2, cam.p1, cam.p2, cam.k3)):
+            # undistort keypoints (`Frame::UndistortKeyPoints`,
+            # src/Frame.cc:571-599); geometry downstream assumes pinhole
+            kp = kp._replace(xy=cam.undistort_points(kp.xy))
         K = kp.capacity
         fd = FrameData(
             frame_id=self.frame_id,
