@@ -76,6 +76,7 @@ class System:
 
     def deactivate_localization_mode(self):
         self.localization_only = False
+        self.tracker.vo_mode = False
 
     def reset(self):
         cfg = self.cfg

@@ -28,6 +28,10 @@ def main(argv=None):
     ap.add_argument("--out-kf", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--no-loop-closing", action="store_true")
+    ap.add_argument("--vocab", default=None,
+                    help="vocabulary: DBoW2 text (ORBvoc.txt, the "
+                         "reference's format) or an .npz saved by "
+                         "Vocabulary.save")
     args = ap.parse_args(argv)
 
     from ..api.config import SlamConfig
@@ -57,7 +61,19 @@ def main(argv=None):
         "fisheye_bird": lambda: datasets.load_fisheye_birdview(args.root),
     }[args.dataset]()
 
-    sys_ = System(cfg, enable_loop_closing=not args.no_loop_closing)
+    vocabulary = None
+    if args.vocab:
+        from ..mapping import vocab as V
+
+        if args.vocab.endswith(".npz"):
+            vocabulary = V.Vocabulary.load(args.vocab)
+        else:
+            vocabulary = V.load_dbow2_text(args.vocab)
+        print(f"vocabulary: {vocabulary.n_words} words "
+              f"(k={vocabulary.branching}, L={vocabulary.depth})")
+
+    sys_ = System(cfg, vocabulary=vocabulary,
+                  enable_loop_closing=not args.no_loop_closing)
     times = []
     n = 0
     for rec in loader:

@@ -108,7 +108,51 @@ def _edge_terms(kind, cam_R, cam_t, points, es: EdgeSet, intr, use_huber):
             0.0,
         )
     )
+    # cheirality-gated edges pay a fixed penalty: otherwise an LM step that
+    # throws points behind the camera zeroes the masked cost and gets
+    # ACCEPTED as a "perfect" solution (degenerate minimum of the mask)
+    cost = cost + 10.0 * chi_th * jnp.sum((es.valid & ~ok).astype(e.dtype))
     return e, Jc, Jp, w, cost, chi2, ok
+
+
+def _cost_only(cam_R, cam_t, points, edge_sets, intr, use_huber):
+    """Total cost without Jacobian/Hessian assembly — candidate-step
+    evaluation inside LM (the full `_assemble` materializes the (C,6,P,3)
+    coupling tensor W; skipping it halves the per-iteration work)."""
+    fx, fy, cx, cy, bf = intr
+    total = None
+    for kind, es in edge_sets:
+        if es is None:
+            continue
+        R = cam_R[es.cam]
+        t = cam_t[es.cam]
+        X = points[es.pt]
+        if kind == "mono":
+            e, chi2, ok = residuals.mono_reproj_cost(
+                R, t, X, es.obs, es.info, fx, fy, cx, cy)
+            chi_th = CHI2_MONO
+        elif kind == "stereo":
+            Xc = jnp.einsum("nij,nj->ni", R, X) + t
+            z = Xc[:, 2]
+            zi = 1.0 / jnp.maximum(z, 1e-9)
+            u = fx * Xc[:, 0] * zi + cx
+            v = fy * Xc[:, 1] * zi + cy
+            pred = jnp.stack([u, v, u - bf * zi], -1)
+            e = es.obs - pred
+            chi2 = jnp.sum(e * e, -1) * es.info
+            ok = z > 1e-6
+            chi_th = CHI2_STEREO
+        else:
+            e = es.obs - (jnp.einsum("nij,nj->ni", R, X) + t)
+            chi2 = jnp.sum(e * e, -1) * es.info
+            ok = jnp.ones(e.shape[0], bool)
+            chi_th = CHI2_BIRD
+        cost = jnp.sum(jnp.where(
+            es.valid & ok,
+            jnp.where(use_huber, robust.huber_rho(chi2, chi_th), chi2), 0.0))
+        cost = cost + 10.0 * chi_th * jnp.sum((es.valid & ~ok).astype(e.dtype))
+        total = cost if total is None else total + cost
+    return total if total is not None else jnp.asarray(0.0, cam_R.dtype)
 
 
 def _classify(kind, cam_R, cam_t, points, es: EdgeSet, intr):
@@ -232,9 +276,7 @@ def bundle_adjust(
             )
             Rn, tn = lie.se3_update_left(cam_R, cam_t, dxc)
             pn = points + dxp
-            _, _, _, _, _, cost1 = _assemble(
-                Rn, tn, pn, msets, intr, use_huber, C, P
-            )
+            cost1 = _cost_only(Rn, tn, pn, msets, intr, use_huber)
             ok = (cost1 < cost0) & jnp.isfinite(cost1)
             cam_R = jnp.where(ok, Rn, cam_R)
             cam_t = jnp.where(ok, tn, cam_t)

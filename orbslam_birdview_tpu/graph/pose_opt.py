@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import lie, robust
+from ..core import lie, linalg, robust
 from . import residuals
 
 CHI2_MONO = 5.991
@@ -35,24 +35,94 @@ class PoseOptResult(NamedTuple):
     chi2: jnp.ndarray
 
 
+def _cost_terms(chi2, active, ok, chi_th, use_huber, dtype):
+    cost = jnp.sum(jnp.where(active & ok,
+                             jnp.where(use_huber, robust.huber_rho(chi2, chi_th), chi2),
+                             0.0))
+    # behind-camera edges pay a fixed penalty so a step that hides points
+    # behind the camera can never look like a cost decrease (see ba.py)
+    return cost + 10.0 * chi_th * jnp.sum((active & ~ok).astype(dtype))
+
+
+def _eval_cost(R, t, Xw, obs, info, active, fx, fy, cx, cy,
+               Xw_b, obs_b, info_b, active_b, use_huber):
+    """Cost only — no Jacobians, no Hessian assembly (candidate-step
+    evaluation inside LM is half the work of a full normal-eq build)."""
+    Xc = Xw @ R.T + t
+    z = Xc[:, 2]
+    zi = 1.0 / jnp.maximum(z, 1e-9)
+    depth_ok = z > 1e-6
+    eu = obs[:, 0] - (fx * Xc[:, 0] * zi + cx)
+    ev = obs[:, 1] - (fy * Xc[:, 1] * zi + cy)
+    chi2 = (eu * eu + ev * ev) * info
+    cost = _cost_terms(chi2, active, depth_ok, CHI2_MONO, use_huber, R.dtype)
+    eb = obs_b - (jnp.einsum("ij,nj->ni", R, Xw_b) + t)
+    chi2_b = jnp.sum(eb * eb, axis=-1) * info_b
+    cost = cost + jnp.sum(jnp.where(
+        active_b,
+        jnp.where(use_huber, robust.huber_rho(chi2_b, CHI2_BIRD), chi2_b),
+        0.0))
+    return cost
+
+
 def _build_normal_eq(R, t, Xw, obs, info, active, fx, fy, cx, cy,
                      Xw_b, obs_b, info_b, active_b, use_huber):
-    e, J, _, depth_ok = residuals.mono_reproj(R, t, Xw, obs, fx, fy, cx, cy)
-    chi2 = jnp.sum(e * e, axis=-1) * info
-    w = jnp.where(use_huber, robust.huber_weight(chi2, CHI2_MONO), 1.0)
-    w = w * info * active.astype(R.dtype) * depth_ok.astype(R.dtype)
-    H = jnp.einsum("nij,n,nik->jk", J, w, J)
-    g = jnp.einsum("nij,n,ni->j", J, w, e)
-    cost = jnp.sum(jnp.where(active & depth_ok,
-                             jnp.where(use_huber, robust.huber_rho(chi2, CHI2_MONO), chi2),
-                             0.0))
+    """Normal equations in structure-of-arrays layout.
 
-    eb, Jb, _ = residuals.bird_point(R, t, Xw_b, obs_b)
+    TPU tiling pads a (N,2,6) Jacobian tensor's last dim to 128 (21×
+    wasted HBM traffic per LM iteration). Here every Jacobian entry is a
+    (N,) vector; the 13 rows are stacked to (7,2N) once and H, g, and eᵀWe
+    come out of a single (7,2N)@(2N,7) MXU matmul.
+    Jacobian formulas match residuals.mono_reproj (FD-tested)."""
+    dtype = R.dtype
+    Xc = Xw @ R.T + t
+    x, y, z = Xc[:, 0], Xc[:, 1], Xc[:, 2]
+    zi = 1.0 / jnp.maximum(z, 1e-9)
+    depth_ok = z > 1e-6
+    eu = obs[:, 0] - (fx * x * zi + cx)
+    ev = obs[:, 1] - (fy * y * zi + cy)
+    chi2 = (eu * eu + ev * ev) * info
+    w = jnp.where(use_huber, robust.huber_weight(chi2, CHI2_MONO), 1.0)
+    w = w * info * active.astype(dtype) * depth_ok.astype(dtype)
+    cost = _cost_terms(chi2, active, depth_ok, CHI2_MONO, use_huber, dtype)
+
+    # J = −Jp·[I | −hat(Xc)] rows as (N,) vectors (left-mult SE3 tangent)
+    xz, yz = x * zi, y * zi
+    zero = jnp.zeros_like(zi)
+    Ju = [-fx * zi, zero, fx * xz * zi,
+          fx * xz * yz, -fx * (1.0 + xz * xz), fx * yz]
+    Jv = [zero, -fy * zi, fy * yz * zi,
+          fy * (1.0 + yz * yz), -fy * xz * yz, -fy * xz]
+    rows = [jnp.concatenate([Ju[k], Jv[k]]) for k in range(6)]
+    rows.append(jnp.concatenate([eu, ev]))
+    P = jnp.stack(rows)                       # (7, 2N)
+    w2 = jnp.concatenate([w, w])
+    A = (P * w2) @ P.T                        # (7,7) on the MXU
+    H, g = A[:6, :6], A[:6, 6]
+
+    # bird 3D point-to-point edges (same SoA treatment, 9+3 rows)
+    eb = obs_b - (Xw_b @ R.T + t)
     chi2_b = jnp.sum(eb * eb, axis=-1) * info_b
     wb = jnp.where(use_huber, robust.huber_weight(chi2_b, CHI2_BIRD), 1.0)
-    wb = wb * info_b * active_b.astype(R.dtype)
-    H = H + jnp.einsum("nij,n,nik->jk", Jb, wb, Jb)
-    g = g + jnp.einsum("nij,n,ni->j", Jb, wb, eb)
+    wb = wb * info_b * active_b.astype(dtype)
+    Xb = Xw_b @ R.T + t
+    xb, yb, zb = Xb[:, 0], Xb[:, 1], Xb[:, 2]
+    zerob = jnp.zeros_like(xb)
+    oneb = jnp.ones_like(xb)
+    # J_b = −[I | −hat(Xc)] (3,6) per edge; rows over the 3 residual dims
+    Jb_rows = [
+        [-oneb, zerob, zerob, zerob, -zb, yb],
+        [zerob, -oneb, zerob, zb, zerob, -xb],
+        [zerob, zerob, -oneb, -yb, xb, zerob],
+    ]
+    rowsb = [jnp.concatenate([Jb_rows[0][k], Jb_rows[1][k], Jb_rows[2][k]])
+             for k in range(6)]
+    rowsb.append(jnp.concatenate([eb[:, 0], eb[:, 1], eb[:, 2]]))
+    Pb = jnp.stack(rowsb)                     # (7, 3Nb)
+    wb3 = jnp.concatenate([wb, wb, wb])
+    Ab = (Pb * wb3) @ Pb.T
+    H = H + Ab[:6, :6]
+    g = g + Ab[:6, 6]
     cost = cost + jnp.sum(jnp.where(active_b,
                                     jnp.where(use_huber, robust.huber_rho(chi2_b, CHI2_BIRD), chi2_b),
                                     0.0))
@@ -105,28 +175,39 @@ def optimize_pose(
         valid_bird = jnp.zeros((1,), bool)
 
     def lm_iters(R, t, active, active_b, use_huber):
-        def body(carry, _):
-            R, t, lam = carry
+        # while_loop with convergence test: g2o's LM also terminates when
+        # the step stalls; typical frames converge in 2-4 of the budgeted
+        # 10 iterations, so early exit cuts the dominant per-frame cost
+        def cond(carry):
+            _, _, _, it, done, _ = carry
+            return (it < iters_per_round) & ~done
+
+        def body(carry):
+            R, t, lam, it, _, _ = carry
             H, g, cost0, _, _ = _build_normal_eq(
                 R, t, Xw, obs_uv, info, active, fx, fy, cx, cy,
                 Xw_bird, obs_pc_bird, info_bird, active_b, use_huber)
             Haug = H + lam * jnp.diag(jnp.diag(H)) + 1e-10 * jnp.eye(6, dtype=dtype)
-            dx = -jnp.linalg.solve(Haug, g)
+            dx = -linalg.solve_psd_small(Haug, g)
             Rn, tn = lie.se3_update_left(R, t, dx)
-            _, _, cost1, _, _ = _build_normal_eq(
+            cost1 = _eval_cost(
                 Rn, tn, Xw, obs_uv, info, active, fx, fy, cx, cy,
                 Xw_bird, obs_pc_bird, info_bird, active_b, use_huber)
             accept = (cost1 < cost0) & jnp.all(jnp.isfinite(dx))
             R = jnp.where(accept, Rn, R)
             t = jnp.where(accept, tn, t)
-            lam = jnp.where(accept, lam * 0.5, lam * 4.0)
-            lam = jnp.clip(lam, 1e-9, 1e6)
-            return (R, t, lam), cost1
+            lam_n = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+            # converged: accepted step with a negligible update, or damping
+            # blown up (no descent direction left)
+            done = (accept & (jnp.max(jnp.abs(dx)) < 1e-6)) | (lam_n > 1e5)
+            cost = jnp.where(accept, cost1, cost0)
+            return (R, t, lam_n, it + 1, done, cost)
 
-        (R, t, _), costs = jax.lax.scan(
-            body, (R, t, jnp.asarray(1e-4, dtype)), None, length=iters_per_round
-        )
-        return R, t, costs[-1]
+        R, t, _, _, _, cost = jax.lax.while_loop(
+            cond, body,
+            (R, t, jnp.asarray(1e-4, dtype), jnp.int32(0), jnp.asarray(False),
+             jnp.asarray(jnp.inf, dtype)))
+        return R, t, cost
 
     R, t = R0, t0
     active = valid

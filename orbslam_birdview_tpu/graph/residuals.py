@@ -62,6 +62,18 @@ def mono_reproj(R, t, Xw, obs_uv, fx, fy, cx, cy):
     return e, J_xi, J_X, z > 1e-6
 
 
+def mono_reproj_cost(R, t, Xw, obs_uv, info, fx, fy, cx, cy):
+    """Residual + chi² only (no Jacobians) — for LM candidate evaluation."""
+    Xc = jnp.einsum("...ij,...j->...i", R, Xw) + t
+    z = Xc[..., 2]
+    zi = 1.0 / jnp.maximum(z, 1e-9)
+    pred = jnp.stack([fx * Xc[..., 0] * zi + cx, fy * Xc[..., 1] * zi + cy],
+                     axis=-1)
+    e = obs_uv - pred
+    chi2 = jnp.sum(e * e, axis=-1) * info
+    return e, chi2, z > 1e-6
+
+
 def stereo_reproj(R, t, Xw, obs_uvr, fx, fy, cx, cy, bf):
     """Stereo edge: residual (u, v, u_right) with u_r = u − bf/z."""
     Xc = jnp.einsum("...ij,...j->...i", R, Xw) + t

@@ -14,7 +14,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..core import lie
+from ..core import lie, linalg
 from ..core.robust import huber_rho, huber_weight
 
 CHI2_SIM3 = 10.0
@@ -73,7 +73,7 @@ def optimize_sim3_two_frame(
             if fix_scale:
                 H = H.at[6, :].set(0.0).at[:, 6].set(0.0).at[6, 6].set(1.0)
                 g = g.at[6].set(0.0)
-            dx = -jnp.linalg.solve(H + lam * jnp.eye(7, dtype=dtype), g)
+            dx = -linalg.solve_psd_small(H + lam * jnp.eye(7, dtype=dtype), g)
             dR, dt, ds = lie.sim3_exp(dx)
             Rn, tn, sn = lie.sim3_mul(dR, dt, ds, R, t, s)
             if fix_scale:

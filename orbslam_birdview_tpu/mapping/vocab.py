@@ -112,6 +112,102 @@ def train_vocabulary(desc_pm1: np.ndarray, branching: int = 8,
     return Vocabulary(k, L, jnp.asarray(centroids), jnp.asarray(idf), n_words)
 
 
+def load_dbow2_text(path: str) -> Vocabulary:
+    """Import a DBoW2 text vocabulary (the reference's `ORBvoc.txt` format,
+    loaded by `ORBVocabulary::loadFromTextFile` — src/System.cc:70-83).
+
+    File layout: header `k L scoring weighting`, then one line per non-root
+    node in creation (BFS) order: `parent_id is_leaf b0..b31 weight`.
+    The tree is re-laid-out into this module's complete-tree centroid
+    tensors: missing children are filled with copies of the first present
+    child (argmax ties resolve to the lowest index, so descent through a
+    padded branch is deterministic and lands on the real child's word).
+    Early leaves (nodes that are words above the bottom level) are extended
+    downward by self-copies; their weight lands on the child-0 path.
+    """
+    with open(path) as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        body = f.read()
+    flat = np.array(body.split(), dtype=np.float64)
+    if flat.size == 0:
+        raise ValueError(f"empty vocabulary file {path}")
+    ncols = 2 + 32 + 1
+    if flat.size % ncols:
+        raise ValueError(f"{path}: not a DBoW2 text vocabulary "
+                         f"({flat.size} values not divisible by {ncols})")
+    rows = flat.reshape(-1, ncols)
+    parents = rows[:, 0].astype(np.int64)        # 0 = root
+    is_leaf = rows[:, 1] != 0
+    desc_u8 = rows[:, 2:34].astype(np.uint8)
+    leaf_weight = rows[:, 34].astype(np.float32)
+    # bytes -> ±1 bits, little-endian bit order (matches unpack_bits_to_pm1)
+    bits = np.unpackbits(desc_u8, axis=1, bitorder="little")
+    pm1 = (bits.astype(np.int8) * 2 - 1).astype(np.int8)
+
+    n_nodes = len(rows)
+    node_ids = np.arange(1, n_nodes + 1)          # file order = DBoW2 id
+    # children lists per parent, in file order
+    order = np.argsort(parents, kind="stable")
+    # level & index-within-level via BFS from the root
+    level = np.zeros(n_nodes + 1, np.int32)       # by DBoW2 id (0=root)
+    lvl_idx = np.zeros(n_nodes + 1, np.int64)     # complete-tree index
+    child_sorted = node_ids[order]
+    parent_sorted = parents[order]
+    # group boundaries: for each parent, the slice of its children
+    starts = np.searchsorted(parent_sorted, np.arange(0, n_nodes + 1), "left")
+    ends = np.searchsorted(parent_sorted, np.arange(0, n_nodes + 1), "right")
+
+    offsets = np.cumsum([0] + [k ** l for l in range(L)])
+    n_internal = offsets[-1]
+    centroids = np.ones((n_internal, k, 256), np.int8)
+    weights = np.zeros(k ** L, np.float32)
+
+    # BFS with explicit frontier; virtual nodes (padding) carry (desc, weight)
+    # of the early leaf they extend
+    frontier = [(0, 0, None, 0.0)]  # (dbow_id | -1, lvl_index, pm1_desc, w)
+    for l in range(L):
+        nxt = []
+        for nid, j, vdesc, vw in frontier:
+            if nid >= 0:
+                s, e = starts[nid], ends[nid]
+                kids = child_sorted[s:e][:k]
+            else:
+                kids = np.zeros(0, np.int64)
+            cents = np.ones((k, 256), np.int8)
+            if len(kids):
+                kd = pm1[kids - 1]
+                cents[: len(kids)] = kd
+                if len(kids) < k:    # pad with first child
+                    cents[len(kids):] = kd[0]
+            elif vdesc is not None:  # extending an early leaf downward
+                cents[:] = vdesc
+            centroids[offsets[l] + j] = cents
+            if l + 1 == L:
+                for c in range(min(len(kids), k)):
+                    kid = kids[c]
+                    weights[j * k + c] = leaf_weight[kid - 1]
+                if len(kids) == 0 and vdesc is not None:
+                    weights[j * k] = vw
+                continue
+            for c in range(k):
+                if c < len(kids):
+                    kid = int(kids[c])
+                    if is_leaf[kid - 1] or starts[kid] == ends[kid]:
+                        nxt.append((-1, j * k + c, pm1[kid - 1],
+                                    leaf_weight[kid - 1]))
+                    else:
+                        nxt.append((kid, j * k + c, None, 0.0))
+                elif len(kids):      # padded copy of first child: dead branch
+                    nxt.append((-1, j * k + c, cents[c], 0.0))
+                elif vdesc is not None:
+                    nxt.append((-1, j * k + c, vdesc if c == 0 else vdesc,
+                                vw if c == 0 else 0.0))
+        frontier = nxt
+    return Vocabulary(k, L, jnp.asarray(centroids), jnp.asarray(weights),
+                      k ** L)
+
+
 def _descend(voc: Vocabulary, desc_pm1):
     """(N,256) ±1 -> (word_id (N,), node_ids_per_level (L,N))."""
     k, L = voc.branching, voc.depth

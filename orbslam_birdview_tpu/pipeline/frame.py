@@ -26,6 +26,12 @@ class FrameData:
     bird_kp: Optional[Keypoints] = None
     bird_base_xyz: Optional[np.ndarray] = None  # (Kb,3) vehicle-base-frame pts
     bird_mp: Optional[np.ndarray] = None        # (Kb,) bird landmark ids
+    # localization-mode temporal "visual odometry" points
+    # (`Tracking::UpdateLastFrame`, src/Tracking.cc:1136-1188): depth-seeded
+    # world points NOT in the map, keyed by keypoint index
+    kp_vo: Optional[np.ndarray] = None          # (K,) bool: has a VO point
+    kp_vo_xyz: Optional[np.ndarray] = None      # (K,3) VO world positions
+    n_vo_inliers: int = 0
     pose_ok: bool = False
 
     @property

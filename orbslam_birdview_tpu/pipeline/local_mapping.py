@@ -183,7 +183,8 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def _gather_ba_problem(self, kf_window, fixed_window, pad_to=None,
-                           point_cap=None, edge_cap=None):
+                           point_cap=None, edge_cap=None,
+                           stereo_cap=None, bird_cap=None):
         """Extract padded BA arrays for the given keyframe window. pad_to
         fixes the camera count so the jitted BA compiles once; point/edge
         caps default to the local-BA buckets."""
@@ -277,6 +278,11 @@ class LocalMapper:
                 pts = np.zeros(0, np.int32)
                 obss = np.zeros((0, obs_dim), np.float32)
                 infos = np.zeros(0, np.float32)
+            if len(cams) > cap:
+                # over-cap: uniform-stride subsample — a prefix cut would
+                # keep only the earliest keyframes' edges (systematic bias)
+                sel = np.linspace(0, len(cams) - 1, cap).astype(np.int64)
+                cams, pts, obss, infos = cams[sel], pts[sel], obss[sel], infos[sel]
             n = min(len(cams), cap)
             pad = cap - n
             return ba.EdgeSet(
@@ -289,8 +295,10 @@ class LocalMapper:
 
         cap = edge_cap
         mono_es, n_mono = mk_edges(e_cam, e_pt, e_obs, e_info, 2, cap)
-        stereo_es, n_st = mk_edges(s_cam, s_pt, s_obs, s_info, 3, cap // 4)
-        bird_es, n_bird = mk_edges(b_cam, b_pt, b_obs, b_info, 3, cap // 4)
+        stereo_es, n_st = mk_edges(s_cam, s_pt, s_obs, s_info, 3,
+                                   stereo_cap or cap // 4)
+        bird_es, n_bird = mk_edges(b_cam, b_pt, b_obs, b_info, 3,
+                                   bird_cap or cap // 4)
         if n_st == 0:
             stereo_es = None
         if n_bird == 0:
@@ -398,14 +406,21 @@ class LocalMapper:
         C = 1 << max(int(np.ceil(np.log2(len(valid)))), 2)
         n_pts = int(store.mp_valid.sum() + store.bmp_valid.sum())
         point_cap = 1 << max(int(np.ceil(np.log2(max(n_pts, 1)))), 8)
-        n_edges = int((store.kf_kp_mp[: store.n_kf] >= 0).sum()
-                      + (store.kf_bird_mp[: store.n_kf] >= 0).sum())
-        edge_cap = 1 << max(int(np.ceil(np.log2(max(n_edges, 1)))), 10)
+        # per-type edge buckets sized from actual counts (a shared cap with
+        # a fixed //4 split silently truncated bird edges on bird-heavy maps)
+        def bucket(n):
+            return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 10)
+
+        n_front = int((store.kf_kp_mp[: store.n_kf] >= 0).sum())
+        n_bird_e = int((store.kf_bird_mp[: store.n_kf] >= 0).sum())
         window = valid
         (all_kfs, cam_R, cam_t, fixed, cam_valid, points, pvalid,
          mono_es, stereo_es, bird_es, mp_ids, bmp_ids, n_mp, n_bmp) = \
             self._gather_ba_problem(window, np.zeros(0, np.int64), pad_to=C,
-                                    point_cap=point_cap, edge_cap=edge_cap)
+                                    point_cap=point_cap,
+                                    edge_cap=bucket(n_front),
+                                    stereo_cap=bucket(n_front),
+                                    bird_cap=bucket(n_bird_e))
         # only anchor KF0 (fixed already marks padding + kf0)
         fixed_np = np.asarray(fixed).copy()
         fixed_np[: len(window)] = False

@@ -45,6 +45,7 @@ class TrajectoryEntry:
     ref_kf: int
     T_rel: np.ndarray  # Tcw_frame * Twc_refkf (4x4)
     lost: bool
+    frame_id: int = -1
 
 
 class Tracker:
@@ -66,6 +67,10 @@ class Tracker:
         # localization-only mode (`Tracking::InformOnlyTracking`): track
         # against the frozen map, never insert keyframes
         self.only_tracking = False
+        # mbVO (`include/Tracking.h:178-182`): in localization mode, true
+        # when the last frame tracked mostly temporal VO points (few map
+        # inliers) — triggers the dual motion-model + relocalization track
+        self.vo_mode = False
         self.reset_requested = False
         from ..utils.profiling import StageTimer
 
@@ -149,14 +154,19 @@ class Tracker:
         if self.state == NOT_INITIALIZED:
             self._try_initialize(fd)
         else:
-            ok = False
-            if self.velocity is not None and self.state == OK:
-                ok = self._track_motion_model(fd)
-            if not ok and self.state == OK:
-                ok = self._track_reference_kf(fd)
-            if not ok and self.state == LOST:
-                ok = self._relocalize(fd)
-            if ok:
+            if self.only_tracking:
+                ok = self._track_localization_only(fd)
+            else:
+                ok = False
+                if self.velocity is not None and self.state == OK:
+                    ok = self._track_motion_model(fd)
+                if not ok and self.state == OK:
+                    ok = self._track_reference_kf(fd)
+                if not ok and self.state == LOST:
+                    ok = self._relocalize(fd)
+            if ok and not (self.only_tracking and self.vo_mode):
+                # with mbVO set there are too few map matches to retrieve a
+                # local map (`Tracking::Track`, src/Tracking.cc:531-537)
                 ok = self._track_local_map(fd)
             if ok:
                 self.state = OK
@@ -333,11 +343,18 @@ class Tracker:
     # per-frame tracking
     # ------------------------------------------------------------------
     def _pose_opt_with_matches(self, fd: FrameData, R0, t0):
-        """Run motion-only LM over fd's current matches (+ bird edges)."""
+        """Run motion-only LM over fd's current matches (+ bird edges +
+        localization-mode temporal VO points). Returns (n_map_inliers,
+        n_bird_inliers); VO inlier count is left on fd.n_vo_inliers."""
         store = self.store
         cam = self.cfg.camera
-        m = fd.kp_mp >= 0
-        Xw = store.mp_pos[np.where(m, fd.kp_mp, 0)]
+        m_map = fd.kp_mp >= 0
+        Xw = store.mp_pos[np.where(m_map, fd.kp_mp, 0)]
+        m_vo = np.zeros_like(m_map)
+        if fd.kp_vo is not None:
+            m_vo = fd.kp_vo & ~m_map
+            Xw = np.where(m_map[:, None], Xw, fd.kp_vo_xyz).astype(np.float32)
+        m = m_map | m_vo
         octv = np.asarray(fd.kp.octave)
         info = 1.0 / self.level_sigma2[np.clip(octv, 0, len(self.level_sigma2) - 1)]
         bird_args = {}
@@ -363,12 +380,17 @@ class Tracker:
         fd.R = np.asarray(res.R)
         fd.t = np.asarray(res.t)
         inl = np.asarray(res.inliers_mono)
-        fd.kp_mp[m & ~inl] = INVALID
+        fd.kp_mp[m_map & ~inl] = INVALID
+        fd.n_vo_inliers = 0
+        if m_vo.any():
+            fd.kp_vo[m_vo & ~inl] = False
+            fd.n_vo_inliers = int((inl & m_vo).sum())
+        n_map = int((inl & m_map).sum())
         if fd.bird_kp is not None:
             binl = np.asarray(res.inliers_bird)
             fd.bird_mp[(fd.bird_mp >= 0) & ~binl] = INVALID
-            return int(inl.sum()), int(binl.sum())
-        return int(inl.sum()), 0
+            return n_map, int(binl.sum())
+        return n_map, 0
 
     def _project_and_match(self, fd: FrameData, mp_ids, radius_mult,
                            exclude_mp=None, max_dist=matcher.TH_HIGH):
@@ -415,26 +437,116 @@ class Tracker:
         fd.kp_mp[tgt[free]] = src[free]
         return int(found.sum())
 
+    def _update_last_frame(self):
+        """`Tracking::UpdateLastFrame` (src/Tracking.cc:1124-1188): refresh
+        the last frame's pose from its reference keyframe (which local
+        mapping / loop closing may have moved), and in localization mode
+        seed temporal "visual odometry" points from its depth."""
+        last = self.last_frame
+        if last is None or not self.trajectory:
+            return
+        entry = self.trajectory[-1]
+        if entry.frame_id != last.frame_id:
+            return
+        if not entry.lost and entry.ref_kf != INVALID \
+                and self.store.kf_valid[entry.ref_kf]:
+            T_ref = np.eye(4, dtype=np.float32)
+            T_ref[:3, :3] = self.store.kf_R[entry.ref_kf]
+            T_ref[:3, 3] = self.store.kf_t[entry.ref_kf]
+            T = entry.T_rel @ T_ref
+            last.R, last.t = T[:3, :3].copy(), T[:3, 3].copy()
+        if (not self.only_tracking or last.kp_depth is None
+                or last.frame_id == self.last_kf_frame_id):
+            return
+        # create VO points: all close ones (depth < threshold); if fewer
+        # than 100 close, the 100 closest (src/Tracking.cc:1153-1188)
+        if last.kp_vo is None:
+            last.kp_vo = np.zeros(len(last.kp_mp), bool)
+            last.kp_vo_xyz = np.zeros((len(last.kp_mp), 3), np.float32)
+        free = ((last.kp_mp < 0) & ~last.kp_vo & (last.kp_depth > 0)
+                & np.asarray(last.kp.valid))
+        ki = np.nonzero(free)[0]
+        if len(ki) == 0:
+            return
+        z = last.kp_depth[ki]
+        order = np.argsort(z, kind="stable")
+        n_close = int((z < self.cfg.depth_threshold).sum())
+        ki = ki[order[: max(n_close, min(100, len(ki)))]]
+        cam = self.cfg.camera
+        xy = np.asarray(last.kp.xy)[ki]
+        z = last.kp_depth[ki]
+        Xc = np.stack([(xy[:, 0] - cam.cx) / cam.fx * z,
+                       (xy[:, 1] - cam.cy) / cam.fy * z, z], 1)
+        Xw = (Xc - last.t) @ last.R  # R^T (Xc − t)
+        last.kp_vo[ki] = True
+        last.kp_vo_xyz[ki] = Xw.astype(np.float32)
+
+    def _project_and_match_vo(self, fd: FrameData, last: FrameData) -> int:
+        """Project the last frame's temporal VO points into fd (the VO part
+        of `SearchByProjection(cur, last)`, src/ORBmatcher.cc:1328-1470)."""
+        if last.kp_vo is None or not last.kp_vo.any():
+            return 0
+        cam = self.cfg.camera
+        Xc = last.kp_vo_xyz @ fd.R.T + fd.t
+        z = Xc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            uv = np.stack([cam.fx * Xc[:, 0] / z + cam.cx,
+                           cam.fy * Xc[:, 1] / z + cam.cy], 1)
+        ok = (last.kp_vo & (z > 0.05)
+              & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
+              & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height))
+        uv = np.where(ok[:, None], uv, 0.0)
+        octv = np.asarray(last.kp.octave)
+        radius = (self.cfg.tracking.motion_search_radius
+                  * self.scale_factors[np.clip(octv, 0,
+                                               len(self.scale_factors) - 1)])
+        idx, _ = device_ops.match_projected(
+            jnp.asarray(uv, jnp.float32), jnp.asarray(ok),
+            last.kp.desc_u8,
+            fd.kp.xy, fd.kp.octave, fd.kp.valid, fd.kp.desc_pm1,
+            jnp.asarray(radius, jnp.float32), jnp.asarray(octv),
+            max_dist_th=matcher.TH_HIGH,
+        )
+        idx = np.asarray(idx)
+        src = np.nonzero(idx >= 0)[0]
+        tgt = idx[src]
+        if fd.kp_vo is None:
+            fd.kp_vo = np.zeros(len(fd.kp_mp), bool)
+            fd.kp_vo_xyz = np.zeros((len(fd.kp_mp), 3), np.float32)
+        free = (fd.kp_mp[tgt] == INVALID) & ~fd.kp_vo[tgt]
+        fd.kp_vo[tgt[free]] = True
+        fd.kp_vo_xyz[tgt[free]] = last.kp_vo_xyz[src[free]]
+        return int(free.sum())
+
     def _track_motion_model(self, fd: FrameData) -> bool:
         last = self.last_frame
+        self._update_last_frame()
         T_pred = self.velocity @ last.Tcw()
         R0, t0 = T_pred[:3, :3], T_pred[:3, 3]
         fd.R, fd.t = R0.copy(), t0.copy()
         # project last frame's landmarks
         last_mp = last.kp_mp
         mp_ids = np.unique(last_mp[last_mp >= 0])
-        if len(mp_ids) == 0:
-            return False
-        n = self._project_and_match(
-            fd, mp_ids, self.cfg.tracking.motion_search_radius / 2.5)
-        if n < 20:
-            fd.kp_mp[:] = INVALID
+        n = 0
+        if len(mp_ids):
             n = self._project_and_match(
-                fd, mp_ids, self.cfg.tracking.motion_search_radius * 2 / 2.5)
+                fd, mp_ids, self.cfg.tracking.motion_search_radius / 2.5)
+            if n < 20:
+                fd.kp_mp[:] = INVALID
+                n = self._project_and_match(
+                    fd, mp_ids,
+                    self.cfg.tracking.motion_search_radius * 2 / 2.5)
+        if self.only_tracking:
+            n += self._project_and_match_vo(fd, last)
         if n < 20:
             return False
         self._match_bird_from_last(fd)
         n_inl, nb = self._pose_opt_with_matches(fd, R0, t0)
+        if self.only_tracking:
+            # mbVO: mostly VO points, few real map matches
+            # (src/Tracking.cc:1322-1326)
+            self.vo_mode = n_inl < 10
+            return (n_inl + fd.n_vo_inliers) > 20
         return n_inl >= self.cfg.tracking.min_track_inliers
 
     def _track_reference_kf(self, fd: FrameData) -> bool:
@@ -493,6 +605,40 @@ class Tracker:
                 bids = store.alloc_bird_points(wpos.astype(np.float32), descs,
                                                last.frame_id)
                 fd.bird_mp[idx[new_src]] = bids
+
+    def _track_localization_only(self, fd: FrameData) -> bool:
+        """Localization-mode tracking (`Tracking::Track` src/Tracking.cc:
+        451-521): normal motion-model/ref-KF tracking while map matches are
+        plentiful; once mbVO is set (mostly temporal VO points), run BOTH
+        the motion model and relocalization and prefer the relocalized
+        solution."""
+        store = self.store
+        if self.state == LOST:
+            return self._relocalize(fd)
+        if not self.vo_mode:
+            ok = False
+            if self.velocity is not None:
+                ok = self._track_motion_model(fd)
+            if not ok:
+                ok = self._track_reference_kf(fd)
+            return ok
+        ok_mm = False
+        saved = None
+        if self.velocity is not None:
+            ok_mm = self._track_motion_model(fd)
+            saved = (fd.R.copy(), fd.t.copy(), fd.kp_mp.copy(),
+                     None if fd.kp_vo is None else fd.kp_vo.copy())
+        ok_reloc = self._relocalize(fd)
+        if ok_reloc:
+            self.vo_mode = False
+        elif ok_mm:
+            fd.R, fd.t, fd.kp_mp, kv = saved
+            fd.kp_vo = kv
+            # still pure VO: bump found counters on the map points we did
+            # keep (src/Tracking.cc:500-510)
+            m = fd.kp_mp >= 0
+            np.add.at(store.mp_found, fd.kp_mp[m], 1)
+        return ok_reloc or ok_mm
 
     def _track_local_map(self, fd: FrameData) -> bool:
         store = self.store
@@ -744,4 +890,4 @@ class Tracker:
         T_rel = fd.Tcw() @ np.linalg.inv(T_ref)
         self.trajectory.append(
             TrajectoryEntry(fd.timestamp, self.ref_kf, T_rel,
-                            not fd.pose_ok))
+                            not fd.pose_ok, fd.frame_id))

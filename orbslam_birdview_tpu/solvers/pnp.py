@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import lie
+from ..core import lie, linalg
 from . import ransac
 
 
@@ -79,7 +79,7 @@ def gn_refine_pose(R, t, Xw, xy_norm, w, iters: int = 10):
         rf = r.reshape(-1)
         H = Jf.T @ Jf + 1e-8 * jnp.eye(6, dtype=R.dtype)
         g = Jf.T @ rf
-        dx = -jnp.linalg.solve(H, g)
+        dx = -linalg.solve_psd_small(H + 1e-9 * jnp.eye(6, dtype=H.dtype), g)
         Rn, tn = lie.se3_update_left(R, t, dx)
         return (Rn, tn), None
 

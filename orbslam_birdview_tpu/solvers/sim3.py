@@ -105,8 +105,21 @@ def sim3_ransac(
     inl = jax.vmap(score)(Rs, ts, ss)
     counts = jnp.sum(inl.astype(jnp.int32), axis=1)
     best, _ = ransac.best_hypothesis(counts.astype(jnp.float32), hyp_ok)
+    # Least-squares 3D refit on the winner's inliers — but keep it ONLY if
+    # it does not lose reprojection inliers. With correlated depth noise
+    # (low-parallax monocular maps) the 3D LSQ drags the scale toward the
+    # depth-error direction, which the reprojection gate then rejects; the
+    # reference never 3D-refits (Sim3Solver returns the best raw hypothesis
+    # and leaves refinement to reprojection-based OptimizeSim3).
     w = inl[best].astype(p1_cam.dtype)
-    R, t, s = horn_sim3(p1_cam, p2_cam, w, fix_scale=fix_scale)
-    inliers = score(R, t, s)
-    n = jnp.sum(inliers.astype(jnp.int32))
+    R1, t1, s1 = horn_sim3(p1_cam, p2_cam, w, fix_scale=fix_scale)
+    inl1 = score(R1, t1, s1)
+    n1 = jnp.sum(inl1.astype(jnp.int32))
+    n0 = counts[best]
+    take = n1 >= n0
+    R = jnp.where(take, R1, Rs[best])
+    t = jnp.where(take, t1, ts[best])
+    s = jnp.where(take, s1, ss[best])
+    inliers = jnp.where(take, inl1, inl[best])
+    n = jnp.maximum(n0, n1)
     return Sim3Result(n >= min_inliers, R, t, s, inliers, n)

@@ -113,6 +113,68 @@ def test_trajectory_savers(tmp_path):
 
 
 @pytest.mark.slow
+def test_stereo_wall_sequence():
+    """Stereo tracking end-to-end: right view rendered at a 8 cm baseline;
+    disparity depth (incl. subpixel refinement) must give a metric
+    trajectory."""
+    from orbslam_birdview_tpu.utils.synth import render_wall_view
+
+    b = 0.08
+    cam = CAM._replace(bf=CAM.fx * b)
+    cfg = SlamConfig(camera=cam, orb=ORBConfig(n_features=1000),
+                     sensor="stereo", depth_threshold=40.0)
+    seq = WallSequence(cam, n_frames=18, step=0.03)
+    sys_ = System(cfg)
+    gt, est = [], []
+    off = np.array([b, 0.0, 0.0])
+    for i in range(18):
+        img_l, (R_cw, t_cw) = seq.frame(i)
+        img_r = render_wall_view(cam, seq.tex, R_cw.astype(np.float64),
+                                 t_cw.astype(np.float64) - off, seq.wall_z)
+        fd = sys_.track_stereo(img_l, img_r, i / 30.0)
+        if fd.pose_ok:
+            est.append(-fd.R.T @ fd.t)
+            gt.append(-R_cw.T @ t_cw)
+    assert len(est) >= 14, f"tracked only {len(est)} frames"
+    ate = ate_rmse(np.array(est), np.array(gt), with_scale=False)
+    assert ate < 0.03, f"metric ATE {ate}"
+
+
+@pytest.mark.slow
+def test_localization_mode_vo_fallback():
+    """Localization mode with an RGB-D sensor must keep tracking via
+    temporal visual-odometry points when the camera leaves the mapped
+    region (mbVO protocol, src/Tracking.cc:451-521, 1136-1188)."""
+    cam = CAM._replace(bf=CAM.fx * 0.08)
+    cfg = SlamConfig(camera=cam, orb=ORBConfig(n_features=1000), sensor="rgbd",
+                     depth_threshold=40.0)
+    n_map, n_total = 12, 30
+    seq = WallSequence(cam, n_frames=n_total, step=0.03)
+    sys_ = System(cfg)
+    frames = ((seq.frame(i)[0], seq.depth(i), seq.frame(i)[1])
+              for i in range(n_map))
+    run_sequence(sys_, frames, "rgbd")
+    assert sys_.get_tracking_state() == 1
+    n_kf = sys_.n_keyframes()
+    sys_.activate_localization_mode()
+    gt, est = [], []
+    for i in range(n_map, n_total):
+        img, (R_cw, t_cw) = seq.frame(i)
+        fd = sys_.track_rgbd(img, seq.depth(i), i / 30.0)
+        if fd.pose_ok:
+            est.append(-fd.R.T @ fd.t)
+            gt.append(-R_cw.T @ t_cw)
+    # no keyframes were added, yet tracking survived past the mapped region
+    assert sys_.n_keyframes() == n_kf
+    assert len(est) >= (n_total - n_map) - 2, f"tracked only {len(est)}"
+    ate = ate_rmse(np.array(est), np.array(gt), with_scale=False)
+    assert ate < 0.05, f"metric ATE {ate}"
+    # the VO fallback actually engaged at some point
+    fd = sys_.tracker.last_frame
+    assert fd.kp_vo is not None
+
+
+@pytest.mark.slow
 def test_reset_and_localization_mode():
     cfg = SlamConfig(camera=CAM, orb=ORBConfig(n_features=800), sensor="mono")
     seq = WallSequence(CAM, n_frames=20, step=0.03)

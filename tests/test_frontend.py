@@ -172,3 +172,40 @@ def test_search_by_projection_window():
         jnp.asarray(np.array([5.0], np.float32)),
     )
     assert int(idx[0]) == 1 and int(d[0]) == 0
+
+
+def test_stereo_subpixel_disparity():
+    """Subpixel SAD refinement must recover a known fractional disparity
+    to well under half a pixel (Frame::ComputeStereoMatches parabola,
+    src/Frame.cc:748-818)."""
+    from orbslam_birdview_tpu.frontend import stereo
+
+    rng = np.random.default_rng(7)
+    H, W = 64, 256
+    # smooth random texture so SAD has a clean minimum
+    base = rng.uniform(0, 255, (H, W + 32)).astype(np.float32)
+    k = np.ones(5) / 5
+    for ax in (0, 1):
+        base = np.apply_along_axis(np.convolve, ax, base, k, mode="same")
+    gt_disp = 7.4
+    xs = np.arange(W, dtype=np.float32)
+    img_l = base[:, 16:16 + W]
+    # right image: uR = uL − disp ⇒ img_r(x) = img_l(x + disp) (linear interp)
+    x_src = xs + 16 + gt_disp
+    x0 = np.floor(x_src).astype(int)
+    a = (x_src - x0).astype(np.float32)
+    img_r = base[:, x0] * (1 - a) + base[:, x0 + 1] * a
+
+    K = 8
+    xy_l = np.stack([rng.uniform(20, W - 20, K), rng.uniform(10, H - 10, K)],
+                    1).astype(np.float32)
+    ur0 = np.round(xy_l[:, 0] - gt_disp)  # integer-pixel initial match
+    uR, sad, ok = stereo.subpixel_disparity(
+        jnp.asarray(img_l), jnp.asarray(img_r), jnp.asarray(xy_l),
+        jnp.asarray(ur0, jnp.float32), jnp.ones(K, bool))
+    uR, ok = np.asarray(uR), np.asarray(ok)
+    assert ok.all()
+    disp = np.round(xy_l[:, 0]) - uR
+    err = np.abs(disp - gt_disp)
+    # integer matching alone is ±0.5; the parabola must do much better
+    assert err.max() < 0.45 and err.mean() < 0.2, err

@@ -314,3 +314,35 @@ def test_bundle_adjust_stereo_and_bird(rng):
     # bird landmarks recovered to metric accuracy
     berr = np.linalg.norm(np.asarray(res.points[P:]) - Xb, axis=1)
     assert np.median(berr) < 2e-2
+
+
+def test_ba_cost_penalizes_behind_camera():
+    """Regression: an LM step that throws points behind the camera used to
+    zero the masked cost and be accepted as a 'perfect' solution. The
+    gated-edge penalty must make the behind-camera state strictly worse."""
+    import jax.numpy as jnp
+    from orbslam_birdview_tpu.graph import ba
+
+    rng = np.random.default_rng(0)
+    P = 64
+    X = np.stack([rng.uniform(-2, 2, P), rng.uniform(-2, 2, P),
+                  rng.uniform(4, 8, P)], 1).astype(np.float32)
+    fx = fy = 500.0
+    cx, cy = 320.0, 240.0
+    obs = np.stack([fx * X[:, 0] / X[:, 2] + cx,
+                    fy * X[:, 1] / X[:, 2] + cy], 1).astype(np.float32)
+    es = ba.EdgeSet(jnp.zeros(P, jnp.int32), jnp.arange(P, dtype=jnp.int32),
+                    jnp.asarray(obs), jnp.ones(P, jnp.float32),
+                    jnp.ones(P, bool))
+    intr = (fx, fy, cx, cy, 0.0)
+    I = jnp.eye(3, dtype=jnp.float32)[None]
+    zero_t = jnp.zeros((1, 3), jnp.float32)
+    # good pose: near-zero cost
+    *_, cost_good, _, _ = ba._edge_terms(
+        "mono", I, zero_t, jnp.asarray(X), es, intr, True)
+    # 180° flip about x: all points land behind the camera
+    flip = jnp.asarray(np.diag([1.0, -1.0, -1.0]).astype(np.float32))[None]
+    *_, cost_flip, _, _ = ba._edge_terms(
+        "mono", flip, zero_t, jnp.asarray(X), es, intr, True)
+    assert float(cost_good) < 1e-3
+    assert float(cost_flip) > 100.0, "behind-camera state must be penalized"

@@ -132,3 +132,23 @@ def test_sim3_identity_equals_se3(rng):
     np.testing.assert_allclose(np.asarray(s7), 1.0, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(R7), np.asarray(R6), atol=1e-5)
     np.testing.assert_allclose(np.asarray(t7), np.asarray(t6), atol=1e-4)
+
+
+def test_solve_psd_small_matches_linalg():
+    import jax.numpy as jnp
+    from orbslam_birdview_tpu.core.linalg import solve_psd_small
+
+    rng = np.random.default_rng(0)
+    for n in (3, 6, 7):
+        A = rng.normal(size=(n, n))
+        A = (A @ A.T + n * np.eye(n)).astype(np.float32)
+        b = rng.normal(size=n).astype(np.float32)
+        x = np.asarray(solve_psd_small(jnp.asarray(A), jnp.asarray(b)))
+        np.testing.assert_allclose(A @ x, b, rtol=2e-4, atol=2e-4)
+    # batched
+    A = rng.normal(size=(5, 6, 6))
+    A = (A @ np.transpose(A, (0, 2, 1)) + 6 * np.eye(6)).astype(np.float32)
+    b = rng.normal(size=(5, 6)).astype(np.float32)
+    x = np.asarray(solve_psd_small(jnp.asarray(A), jnp.asarray(b)))
+    np.testing.assert_allclose(np.einsum("bij,bj->bi", A, x), b,
+                               rtol=2e-4, atol=2e-4)

@@ -180,3 +180,59 @@ def test_kfdb_reloc_candidates(rng):
     q = mk_kp(perturb(descs[3], rng, bits=10))
     cands = db.detect_relocalization_candidates(q)
     assert 3 in cands, cands
+
+
+def test_dbow2_text_import(tmp_path):
+    """Round-trip a tiny DBoW2 text vocabulary (k=3, L=2, with a short
+    branch and an early leaf) and check descent + weights."""
+    import jax.numpy as jnp
+    from orbslam_birdview_tpu.frontend.keypoints import unpack_bits_to_pm1
+    from orbslam_birdview_tpu.mapping import vocab as V
+
+    # hierarchical descriptors: children are small perturbations of their
+    # parent (random descriptors would not respect the tree structure)
+    descs = np.zeros((9, 32), np.uint8)
+    descs[1, :] = 0x00
+    descs[2, :] = 0xFF
+    descs[3, :] = 0x0F
+    descs[4] = descs[1].copy(); descs[4, 0] = 0x01
+    descs[5] = descs[1].copy(); descs[5, 1] = 0x03
+    descs[6] = descs[1].copy(); descs[6, 2] = 0x07
+    descs[7] = descs[2].copy(); descs[7, 0] = 0xFE
+    descs[8] = descs[2].copy(); descs[8, 1] = 0xF8
+
+    def line(parent, is_leaf, d, w):
+        return f"{parent} {int(is_leaf)} " + " ".join(
+            str(int(b)) for b in d) + f" {w}"
+
+    lines = ["3 2 0 0"]
+    # level 1: children of root — node 3 is an EARLY LEAF (word above L)
+    lines.append(line(0, 0, descs[1], 0.0))   # id 1
+    lines.append(line(0, 0, descs[2], 0.0))   # id 2
+    lines.append(line(0, 1, descs[3], 0.7))   # id 3, early leaf
+    # level 2: node 1 has 3 children, node 2 only 2 (short branch)
+    lines.append(line(1, 1, descs[4], 0.4))   # id 4
+    lines.append(line(1, 1, descs[5], 0.5))   # id 5
+    lines.append(line(1, 1, descs[6], 0.6))   # id 6
+    lines.append(line(2, 1, descs[7], 0.8))   # id 7
+    lines.append(line(2, 1, descs[8], 0.9))   # id 8
+    p = tmp_path / "voc.txt"
+    p.write_text("\n".join(lines) + "\n")
+
+    voc = V.load_dbow2_text(str(p))
+    assert voc.branching == 3 and voc.depth == 2 and voc.n_words == 9
+
+    # descend each leaf descriptor: must land on a word carrying its weight
+    for nid, want_w in [(4, 0.4), (5, 0.5), (6, 0.6), (7, 0.8), (8, 0.9),
+                        (3, 0.7)]:
+        pm1 = unpack_bits_to_pm1(jnp.asarray(descs[nid][None]))
+        bow, word, nodes = V.transform(voc, pm1, jnp.ones(1, bool))
+        w = float(np.asarray(voc.weights)[int(word[0])])
+        assert abs(w - want_w) < 1e-6, (nid, w, want_w)
+    # distinct leaves -> distinct words
+    words = []
+    for nid in (4, 5, 6, 7, 8, 3):
+        pm1 = unpack_bits_to_pm1(jnp.asarray(descs[nid][None]))
+        _, word, _ = V.transform(voc, pm1, jnp.ones(1, bool))
+        words.append(int(word[0]))
+    assert len(set(words)) == 6, words
