@@ -260,34 +260,54 @@ def select_uniform_topk(resp, k_out: int, cell: int, per_cell: int):
 # (`computeOrbDescriptor`, ORBextractor.cc:108-148).
 # ---------------------------------------------------------------------------
 
-PATCH = 64          # patch side; center pixel at (32, 32)
-PATCH_C = 32
+PATCH = 48          # patch side; center pixel at (24, 24)
+PATCH_C = 24        # covers BRIEF's rotated reach (±18) + blur margin (±3)
 BLUR_PATCH = PATCH - 6   # after VALID 7x7 blur; center at 29
 BLUR_C = PATCH_C - 3
 
 
 def extract_patches(img, ys, xs, size: int = PATCH):
-    """(K,) int coords -> (K,size,size) patches centered at (y,x) via
-    contiguous dynamic slices on an edge-padded image."""
+    """(K,) int coords -> (K,size,size) patches centered at (y,x).
+
+    On TPU: per-keypoint HBM→VMEM DMAs (Pallas, see patch_kernel.py) —
+    the XLA gather this replaces ran at ~17 GB/s effective (1.9 ms/frame).
+    Elsewhere: contiguous dynamic slices on an edge-padded image."""
+    from . import patch_kernel
+
     pad = size // 2
     padded = jnp.pad(img, pad, mode="edge")
+    if patch_kernel.pallas_patches_enabled():
+        return patch_kernel.gather_patches(padded, ys, xs, size)
+
     def sl(y, x):
         return jax.lax.dynamic_slice(padded, (y, x), (size, size))
     return jax.vmap(sl)(ys, xs)
 
 
-def blur_patches(patches):
-    """7x7 Gaussian (sigma=2) per patch, VALID — identical to blurring the
-    whole image then slicing (away from image borders)."""
+@functools.lru_cache(maxsize=None)
+def _blur_matrix(n_in: int) -> np.ndarray:
+    """Banded (n_in−6, n_in) matrix applying the 7-tap Gaussian (sigma=2)
+    as a VALID 1D convolution."""
     k1 = np.array([np.exp(-(i * i) / (2 * 2.0 ** 2)) for i in range(-3, 4)])
     k1 = (k1 / k1.sum()).astype(np.float32)
-    k = jnp.asarray(k1)
-    x = patches[:, None]  # (K,1,S,S)
-    kr = k.reshape(1, 1, 1, 7)
-    kc = k.reshape(1, 1, 7, 1)
-    y = jax.lax.conv_general_dilated(x, kr, (1, 1), "VALID")
-    y = jax.lax.conv_general_dilated(y, kc, (1, 1), "VALID")
-    return y[:, 0]
+    n_out = n_in - 6
+    B = np.zeros((n_out, n_in), np.float32)
+    for j in range(7):
+        B[np.arange(n_out), np.arange(n_out) + j] = k1[j]
+    return B
+
+
+def blur_patches(patches):
+    """7x7 Gaussian (sigma=2) per patch, VALID — identical to blurring the
+    whole image then slicing (away from image borders).
+
+    Implemented as two banded constant matmuls (B @ patch @ Bᵀ) instead of
+    1-channel convolutions: XLA lowers C=1 convs at ~1/128 MXU utilization
+    (~2.5 ms/frame measured); the matmul form runs in the MXU's sweet spot."""
+    S = patches.shape[-1]
+    B = jnp.asarray(_blur_matrix(S))
+    y = jnp.einsum("oi,kij->koj", B, patches)
+    return jnp.einsum("koj,pj->kop", y, B)
 
 
 def _ic_weights():

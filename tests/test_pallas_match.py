@@ -28,3 +28,24 @@ def test_fused_matcher_agrees_with_xla(rng):
     m = ridx >= 0
     np.testing.assert_array_equal(np.asarray(rdist)[m],
                                   np.asarray(pdist)[m].astype(np.int32))
+
+
+def test_patch_gather_kernel_interpret(rng):
+    """DMA patch gather (interpret mode) matches the XLA dynamic-slice path,
+    including clamped out-of-range offsets."""
+    import jax
+    import jax.numpy as jnp
+
+    from orbslam_birdview_tpu.frontend import patch_kernel
+
+    img = jnp.asarray(rng.uniform(0, 255, (120, 160)).astype("float32"))
+    padded = jnp.pad(img, 24, mode="edge")
+    ys = jnp.asarray(rng.integers(-5, 140, 53).astype("int32"))
+    xs = jnp.asarray(rng.integers(-5, 180, 53).astype("int32"))
+    out = patch_kernel.gather_patches(padded, ys, xs, 48, interpret=True)
+    yc = jnp.clip(ys, 0, padded.shape[0] - 48)
+    xc = jnp.clip(xs, 0, padded.shape[1] - 48)
+    ref = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(padded, (y, x), (48, 48))
+    )(yc, xc)
+    assert bool(jnp.all(out == ref))

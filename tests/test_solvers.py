@@ -190,6 +190,42 @@ def test_sim3_ransac(rng):
     np.testing.assert_allclose(np.asarray(res.R), R_gt, atol=5e-3)
 
 
+def test_sim3_ransac_correlated_depth_noise(rng):
+    """Regression: low-parallax monocular loop pairs carry correlated
+    depth noise; the 3D LSQ refit then drags the scale off and loses
+    reprojection inliers. sim3_ransac must keep the raw best hypothesis
+    in that case (observed live: 77-inlier hypothesis degraded to 6 by
+    the refit, silently vetoing every loop closure)."""
+    n = 96
+    p2 = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+         rng.uniform(5, 8, n)], axis=1).astype(np.float32)
+    R_gt = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.15, 0.0], jnp.float32)))
+    s_gt, t_gt = 1.0, np.array([0.3, 0.0, -0.1], np.float32)
+    p1 = s_gt * (p2 @ R_gt.T) + t_gt
+    # correlated depth error: perturb both clouds ALONG their viewing rays
+    # (triangulation uncertainty), which barely moves reprojections but
+    # wrecks a 3D least-squares scale fit
+    for p in (p1, p2):
+        ray = p / np.linalg.norm(p, axis=1, keepdims=True)
+        p += ray * rng.normal(0, 0.12, (n, 1)).astype(np.float32)
+
+    def projf(Xc):
+        z = jnp.maximum(Xc[:, 2], 1e-6)
+        return jnp.stack([500.0 * Xc[:, 0] / z + 320,
+                          500.0 * Xc[:, 1] / z + 240], -1)
+
+    res = sim3.sim3_ransac(
+        KEY, jnp.asarray(p1), jnp.asarray(p2), jnp.ones(n, bool),
+        projf, projf,
+        max_err1=jnp.full(n, 9.21, jnp.float32),
+        max_err2=jnp.full(n, 9.21, jnp.float32),
+    )
+    assert bool(res.ok)
+    assert int(res.n_inliers) >= 0.6 * n
+    np.testing.assert_allclose(np.asarray(res.R), R_gt, atol=0.03)
+
+
 def test_initializer_monocular(rng):
     x1, x2, valid, R_gt, t_gt, X = synth_two_view(rng, noise=0.3, outlier_frac=0.05)
     res = initializer.initialize_two_view(
