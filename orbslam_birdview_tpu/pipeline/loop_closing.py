@@ -402,16 +402,30 @@ class LoopCloser:
         E = len(e_i)
         fixed = np.zeros(K, bool)
         fixed[slot[cand]] = True
-        R_out, t_out, s_out, cost = pose_graph.optimize_sim3_graph(
-            jnp.asarray(vR), jnp.asarray(vt), jnp.asarray(vs),
-            jnp.asarray(fixed),
-            jnp.asarray(np.array(e_i, np.int32)),
-            jnp.asarray(np.array(e_j, np.int32)),
-            jnp.asarray(np.stack(mR)), jnp.asarray(np.stack(mt)),
-            jnp.asarray(np.array(ms, np.float32)),
-            jnp.asarray(np.array(e_w, np.float32)), jnp.ones(E, bool),
-            n_iters=20,
-        )
+        if jax.device_count() > 1:
+            # edge shards reduced over ICI (parallel/sharded_pose_graph.py);
+            # equals the single-device solve up to reduction order
+            from ..parallel import sharded_ba, sharded_pose_graph as spg
+
+            mesh = sharded_ba.make_mesh()
+            sharded = spg.shard_edges(
+                mesh, np.array(e_i, np.int32), np.array(e_j, np.int32),
+                np.stack(mR), np.stack(mt), np.array(ms, np.float32),
+                np.array(e_w, np.float32), np.ones(E, bool))
+            R_out, t_out, s_out, cost = spg.sharded_optimize_sim3_graph(
+                mesh, jnp.asarray(vR), jnp.asarray(vt), jnp.asarray(vs),
+                jnp.asarray(fixed), *sharded, n_iters=20)
+        else:
+            R_out, t_out, s_out, cost = pose_graph.optimize_sim3_graph(
+                jnp.asarray(vR), jnp.asarray(vt), jnp.asarray(vs),
+                jnp.asarray(fixed),
+                jnp.asarray(np.array(e_i, np.int32)),
+                jnp.asarray(np.array(e_j, np.int32)),
+                jnp.asarray(np.stack(mR)), jnp.asarray(np.stack(mt)),
+                jnp.asarray(np.array(ms, np.float32)),
+                jnp.asarray(np.array(e_w, np.float32)), jnp.ones(E, bool),
+                n_iters=20,
+            )
         R_out = np.asarray(R_out)
         t_out = np.asarray(t_out)
         s_out = np.asarray(s_out)

@@ -102,3 +102,68 @@ def test_sharded_matches_single_device(rng):
         mesh1, prob1, FX, FY, CX, CY, n_iters=6)
     np.testing.assert_allclose(np.asarray(t8), np.asarray(t1), atol=1e-3)
     np.testing.assert_allclose(float(c8), float(c1), rtol=1e-2)
+
+
+def test_sharded_pose_graph_matches_single_device(rng):
+    """Sharded Sim3 essential graph == single-device optimizer on the same
+    drifted-loop problem (up to float reduction order)."""
+    from orbslam_birdview_tpu.graph import pose_graph
+    from orbslam_birdview_tpu.parallel import sharded_pose_graph as spg
+
+    K = 16
+    gt = []
+    for k in range(K):
+        th = 2 * np.pi * k / K
+        Rk = np.asarray(lie.so3_exp(jnp.asarray([0, 0, th], dtype=jnp.float32)))
+        pk = np.array([np.cos(th), np.sin(th), 0.0], np.float32) * 4
+        gt.append((Rk.T, -Rk.T @ pk))
+    est_R, est_t = [gt[0][0]], [gt[0][1]]
+    for k in range(1, K):
+        Rp, tp = gt[k - 1]
+        Rk, tk = gt[k]
+        Rr = Rk @ Rp.T
+        tr = (tk - Rr @ tp) * (1.02 ** k) + rng.normal(0, 0.01, 3).astype(np.float32)
+        est_R.append(Rr @ est_R[-1])
+        est_t.append(Rr @ est_t[-1] + tr)
+    est_R = jnp.asarray(np.stack(est_R))
+    est_t = jnp.asarray(np.stack(est_t))
+    est_s = jnp.ones(K)
+
+    e_i, e_j, mR, mt, ms = [], [], [], [], []
+    for k in range(1, K):
+        Ri, ti = np.asarray(est_R[k - 1]), np.asarray(est_t[k - 1])
+        Rj, tj = np.asarray(est_R[k]), np.asarray(est_t[k])
+        Rr = Rj @ Ri.T
+        e_i.append(k - 1); e_j.append(k)
+        mR.append(Rr); mt.append(tj - Rr @ ti); ms.append(1.0)
+    R0, t0 = gt[0]
+    R1, t1 = gt[K - 1]
+    Rr = R0 @ R1.T
+    e_i.append(K - 1); e_j.append(0)
+    mR.append(Rr); mt.append(t0 - Rr @ t1); ms.append(1.0)
+    E = len(e_i)
+    fixed = jnp.zeros(K, bool).at[0].set(True)
+    args = (jnp.asarray(np.array(e_i, np.int32)),
+            jnp.asarray(np.array(e_j, np.int32)),
+            jnp.asarray(np.stack(mR)), jnp.asarray(np.stack(mt)),
+            jnp.asarray(np.array(ms, np.float32)),
+            jnp.ones(E), jnp.ones(E, bool))
+
+    R_ref, t_ref, s_ref, cost_ref = pose_graph.optimize_sim3_graph(
+        est_R, est_t, est_s, fixed, *args, n_iters=15)
+
+    mesh = sharded_ba.make_mesh()
+    sharded = spg.shard_edges(mesh, np.array(e_i, np.int32),
+                              np.array(e_j, np.int32), np.stack(mR),
+                              np.stack(mt), np.array(ms, np.float32),
+                              np.ones(E, np.float32), np.ones(E, bool))
+    R_sh, t_sh, s_sh, cost_sh = spg.sharded_optimize_sim3_graph(
+        mesh, est_R, est_t, est_s, fixed, *sharded, n_iters=15)
+
+    assert np.isfinite(float(cost_sh))
+    np.testing.assert_allclose(np.asarray(R_sh), np.asarray(R_ref),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(t_sh), np.asarray(t_ref),
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref),
+                               atol=5e-4)
