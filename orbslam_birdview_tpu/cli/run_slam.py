@@ -32,6 +32,11 @@ def main(argv=None):
                     help="vocabulary: DBoW2 text (ORBvoc.txt, the "
                          "reference's format) or an .npz saved by "
                          "Vocabulary.save")
+    ap.add_argument("--timing", action="store_true",
+                    help="print the per-stage timing summary at exit")
+    ap.add_argument("--profile-trace", default=None, metavar="DIR",
+                    help="capture a JAX profiler trace of the run "
+                         "(view with xprof/TensorBoard)")
     args = ap.parse_args(argv)
 
     from ..api.config import SlamConfig
@@ -74,26 +79,33 @@ def main(argv=None):
 
     sys_ = System(cfg, vocabulary=vocabulary,
                   enable_loop_closing=not args.no_loop_closing)
+    import contextlib
+
+    from ..utils import profiling
+
+    trace_ctx = (profiling.jax_trace(args.profile_trace)
+                 if args.profile_trace else contextlib.nullcontext())
     times = []
     n = 0
-    for rec in loader:
-        t0 = time.perf_counter()
-        if rec.depth is not None:
-            sys_.track_rgbd(rec.img, rec.depth, rec.timestamp)
-        elif rec.right is not None:
-            sys_.track_stereo(rec.img, rec.right, rec.timestamp)
-        elif rec.bird is not None:
-            sys_.track_monocular_with_birdview(
-                rec.img, rec.bird, rec.bird_mask, rec.timestamp)
-        else:
-            sys_.track_monocular(rec.img, rec.timestamp)
-        times.append(time.perf_counter() - t0)
-        n += 1
-        if n % 50 == 0:
-            print(f"frame {n}: state={sys_.get_tracking_state()} "
-                  f"kfs={sys_.n_keyframes()} mps={sys_.n_map_points()}")
-        if args.max_frames and n >= args.max_frames:
-            break
+    with trace_ctx:
+        for rec in loader:
+            t0 = time.perf_counter()
+            if rec.depth is not None:
+                sys_.track_rgbd(rec.img, rec.depth, rec.timestamp)
+            elif rec.right is not None:
+                sys_.track_stereo(rec.img, rec.right, rec.timestamp)
+            elif rec.bird is not None:
+                sys_.track_monocular_with_birdview(
+                    rec.img, rec.bird, rec.bird_mask, rec.timestamp)
+            else:
+                sys_.track_monocular(rec.img, rec.timestamp)
+            times.append(time.perf_counter() - t0)
+            n += 1
+            if n % 50 == 0:
+                print(f"frame {n}: state={sys_.get_tracking_state()} "
+                      f"kfs={sys_.n_keyframes()} mps={sys_.n_map_points()}")
+            if args.max_frames and n >= args.max_frames:
+                break
 
     times = np.array(times)
     print(f"processed {n} frames; median {np.median(times)*1e3:.1f} ms, "
@@ -105,6 +117,8 @@ def main(argv=None):
     if args.out_kf:
         sys_.save_keyframe_trajectory_tum(args.out_kf)
     print(f"saved trajectory to {args.out}")
+    if args.timing:
+        print(profiling.GLOBAL_TIMER.summary())
 
 
 if __name__ == "__main__":

@@ -227,11 +227,6 @@ def _descend(voc: Vocabulary, desc_pm1):
     return node, jnp.stack(nodes_per_level)
 
 
-@jax.jit
-def _descend_jit(centroids, branching_arr, desc_pm1):
-    raise NotImplementedError
-
-
 def transform(voc: Vocabulary, desc_pm1, valid, levels_up: int = 2):
     """Compute (bow (n_words,) L1-normalized tf-idf, word_ids (N,),
     node_ids (N,) at depth L−levels_up) for one frame's descriptors."""
