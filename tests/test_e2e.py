@@ -174,6 +174,82 @@ def test_localization_mode_vo_fallback():
     assert fd.kp_vo is not None
 
 
+def test_eval_traj_tool(tmp_path):
+    """The shipped TUM ATE/RPE scorer recovers a known similarity transform
+    and reports the injected noise level (replaces the reference's reliance
+    on the external TUM benchmark scripts, SURVEY §4)."""
+    from orbslam_birdview_tpu.cli.eval_traj import evaluate
+
+    rng = np.random.default_rng(3)
+    n = 120
+    t = np.arange(n) / 30.0
+    gt = np.stack([np.cos(t), np.sin(t), 0.1 * t], 1)
+    # a known Sim3: rotate 30 deg about z, scale 2.5, translate
+    th = np.radians(30)
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    est = 2.5 * gt @ R.T + np.array([1.0, -2.0, 0.5])
+    est = est + rng.normal(0, 0.001, est.shape)
+    qid = "0 0 0 1"
+
+    def write(path, ts, pos):
+        with open(path, "w") as f:
+            f.write("# ts x y z qx qy qz qw\n")
+            for k in range(len(ts)):
+                f.write(f"{ts[k]:.6f} {pos[k,0]:.6f} {pos[k,1]:.6f} "
+                        f"{pos[k,2]:.6f} {qid}\n")
+
+    write(tmp_path / "gt.txt", t, gt)
+    write(tmp_path / "est.txt", t + 0.004, est)  # timestamp jitter
+    m = evaluate(str(tmp_path / "gt.txt"), str(tmp_path / "est.txt"),
+                 with_scale=True)
+    assert m["n_pairs"] == n
+    assert abs(m["scale"] - 1 / 2.5) < 1e-3
+    assert m["ate_rmse"] < 0.002
+    # without scale alignment the 2.5x trajectory is way off
+    m2 = evaluate(str(tmp_path / "gt.txt"), str(tmp_path / "est.txt"),
+                  with_scale=False)
+    assert m2["ate_rmse"] > 0.5
+
+
+@pytest.mark.slow
+def test_relocalization_after_lost():
+    """Tracking lost on featureless frames must recover via EPnP-RANSAC
+    relocalization against the keyframe database when a mapped view
+    reappears (`Tracking::Relocalization`, src/Tracking.cc:1902-2063)."""
+    cam = CAM._replace(bf=CAM.fx * 0.08)
+    cfg = SlamConfig(camera=cam, orb=ORBConfig(n_features=1000), sensor="rgbd",
+                     depth_threshold=40.0)
+    cfg.tracking.max_frames_between_kf = 2  # densify KFs past the reset gate
+    n = 16
+    seq = WallSequence(cam, n_frames=n, step=0.03)
+    sys_ = System(cfg)
+    first_pass = {}
+    for i in range(n):
+        img, _ = seq.frame(i)
+        fd = sys_.track_rgbd(img, seq.depth(i), i / 30.0)
+        if fd.pose_ok:
+            first_pass[i] = (np.array(fd.R), np.array(fd.t))
+    assert sys_.n_keyframes() > 5  # enough map to survive getting lost
+    # blind the camera: featureless frames -> LOST
+    blank = np.zeros((cam.height, cam.width), np.float32)
+    fardep = np.full((cam.height, cam.width), 5.0, np.float32)
+    for j in range(3):
+        fd = sys_.track_rgbd(blank, fardep, (n + j) / 30.0)
+        assert not fd.pose_ok
+    assert sys_.get_tracking_state() == 2  # LOST
+    # revisit a mapped view: relocalization must recover the pose
+    fid = 5
+    img, _ = seq.frame(fid)
+    fd = sys_.track_rgbd(img, seq.depth(fid), (n + 5) / 30.0)
+    assert fd.pose_ok, "relocalization failed"
+    assert sys_.tracker.last_reloc_frame_id == fd.frame_id
+    R1, t1 = first_pass[fid]
+    c_reloc = -np.array(fd.R).T @ np.array(fd.t)
+    c_ref = -R1.T @ t1
+    assert np.linalg.norm(c_reloc - c_ref) < 0.02, np.linalg.norm(c_reloc - c_ref)
+
+
 @pytest.mark.slow
 def test_reset_and_localization_mode():
     cfg = SlamConfig(camera=CAM, orb=ORBConfig(n_features=800), sensor="mono")
@@ -193,3 +269,28 @@ def test_reset_and_localization_mode():
     sys_.reset()
     assert sys_.n_keyframes() == 0
     assert sys_.get_tracking_state() == 0
+
+
+def test_ar_plane_and_cube():
+    """AR demo analog (`Examples/ROS/ORB_SLAM2/src/AR/ViewerAR.cc`): RANSAC
+    plane detection from map points and virtual-cube projection."""
+    from orbslam_birdview_tpu.utils import ar
+
+    rng = np.random.default_rng(0)
+    n_pl, n_out = 150, 30
+    # plane y = 1.5 (normal -y), plus outliers
+    pts = np.concatenate([
+        np.stack([rng.uniform(-2, 2, n_pl), np.full(n_pl, 1.5)
+                  + rng.normal(0, 0.002, n_pl), rng.uniform(2, 6, n_pl)], 1),
+        rng.uniform(-2, 6, (n_out, 3)),
+    ])
+    plane = ar.detect_plane(pts, seed=1)
+    assert plane is not None
+    assert abs(abs(plane.normal[1]) - 1.0) < 0.01
+    assert plane.inliers.sum() >= n_pl * 0.9
+    assert plane.inliers[:n_pl].mean() > 0.9
+    img = np.zeros((480, 640), np.float32)
+    K = np.array([[500.0, 0, 320], [0, 500.0, 240], [0, 0, 1]])
+    out = ar.draw_virtual_cube(img, np.eye(3), np.zeros(3), K, plane, 0.2)
+    assert out.shape == (480, 640, 3)
+    assert out.max() > 0  # something was drawn
