@@ -87,8 +87,74 @@ def load_kitti(root: str, stereo: bool = False) -> Iterator[FrameRecord]:
         yield FrameRecord(ts, left, right=right)
 
 
-def load_euroc(root: str, cam: str = "cam0") -> Iterator[FrameRecord]:
+class StereoRectifier:
+    """Stereo rectification with per-camera K/D/R/P, exactly the reference's
+    EuRoC preprocessing (`stereo_euroc.cc:main` builds
+    `cv::initUndistortRectifyMap` maps from `LEFT.*`/`RIGHT.*` YAML entries
+    and remaps every image pair before tracking)."""
+
+    def __init__(self, left_K, left_D, left_R, left_P,
+                 right_K, right_D, right_R, right_P, width: int, height: int):
+        size = (int(width), int(height))
+        self._ml = cv2.initUndistortRectifyMap(
+            np.asarray(left_K, np.float64).reshape(3, 3),
+            np.asarray(left_D, np.float64).ravel(),
+            np.asarray(left_R, np.float64).reshape(3, 3),
+            np.asarray(left_P, np.float64).reshape(3, 4)[:3, :3],
+            size, cv2.CV_32FC1)
+        self._mr = cv2.initUndistortRectifyMap(
+            np.asarray(right_K, np.float64).reshape(3, 3),
+            np.asarray(right_D, np.float64).ravel(),
+            np.asarray(right_R, np.float64).reshape(3, 3),
+            np.asarray(right_P, np.float64).reshape(3, 4)[:3, :3],
+            size, cv2.CV_32FC1)
+
+    def __call__(self, left: np.ndarray, right: np.ndarray):
+        return (cv2.remap(left, self._ml[0], self._ml[1], cv2.INTER_LINEAR),
+                cv2.remap(right, self._mr[0], self._mr[1], cv2.INTER_LINEAR))
+
+
+def parse_rectification(path: str) -> Optional[StereoRectifier]:
+    """Parse `LEFT.*`/`RIGHT.*` rectification blocks from a YAML config.
+
+    Accepts both the reference's `!!opencv-matrix` multi-line blocks
+    (`Examples/Stereo/EuRoC.yaml:37-81`) and this repo's flat one-line
+    `LEFT.K: [a, b, ...]` form; returns None if no blocks are present."""
+    import re
+
+    with open(path) as f:
+        text = f.read()
+    vals = {}
+    # flat scalar form: LEFT.width: 752
+    for m in re.finditer(r"^\s*((?:LEFT|RIGHT)\.\w+)\s*:\s*([-+0-9.eE]+)\s*$",
+                         text, re.M):
+        vals[m.group(1)] = float(m.group(2))
+    # flat list form: LEFT.K: [a, b, ...]
+    for m in re.finditer(r"^\s*((?:LEFT|RIGHT)\.\w+)\s*:\s*\[([^\]]*)\]",
+                         text, re.M):
+        vals[m.group(1)] = np.array(
+            [float(x) for x in m.group(2).replace(",", " ").split()])
+    # opencv-matrix form: LEFT.K: !!opencv-matrix ... data: [a, b, ...]
+    for m in re.finditer(
+            r"((?:LEFT|RIGHT)\.\w+)\s*:\s*!!opencv-matrix.*?data\s*:\s*\[([^\]]*)\]",
+            text, re.S):
+        vals[m.group(1)] = np.array(
+            [float(x) for x in m.group(2).replace(",", " ").split()])
+    need = [f"{side}.{k}" for side in ("LEFT", "RIGHT")
+            for k in ("K", "D", "R", "P")]
+    if not all(k in vals for k in need):
+        return None
+    return StereoRectifier(
+        vals["LEFT.K"], vals["LEFT.D"], vals["LEFT.R"], vals["LEFT.P"],
+        vals["RIGHT.K"], vals["RIGHT.D"], vals["RIGHT.R"], vals["RIGHT.P"],
+        int(vals.get("LEFT.width", 752)), int(vals.get("LEFT.height", 480)))
+
+
+def load_euroc(root: str, cam: str = "cam0", stereo: bool = False,
+               rectifier: Optional[StereoRectifier] = None
+               ) -> Iterator[FrameRecord]:
     data_dir = os.path.join(root, "mav0", cam, "data")
+    right_dir = os.path.join(root, "mav0", "cam1", "data")
     entries = []
     with open(os.path.join(root, "mav0", cam, "data.csv")) as f:
         for line in f:
@@ -97,7 +163,18 @@ def load_euroc(root: str, cam: str = "cam0") -> Iterator[FrameRecord]:
             ts_ns, name = line.strip().split(",")[:2]
             entries.append((int(ts_ns) * 1e-9, name))
     for ts, name in entries:
-        yield FrameRecord(ts, _gray(os.path.join(data_dir, name)))
+        img = _gray(os.path.join(data_dir, name))
+        if not stereo:
+            yield FrameRecord(ts, img)
+            continue
+        # EuRoC cam0/cam1 are hardware-synced: same filename both sides
+        rpath = os.path.join(right_dir, name)
+        if not os.path.exists(rpath):
+            continue
+        right = _gray(rpath)
+        if rectifier is not None:
+            img, right = rectifier(img, right)
+        yield FrameRecord(ts, img, right=right)
 
 
 def load_fisheye_birdview(root: str, crop=(1900, 800), scale: float = 0.5

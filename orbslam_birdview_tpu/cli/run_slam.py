@@ -21,7 +21,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", required=True,
                     choices=["tum_mono", "tum_rgbd", "kitti_mono",
-                             "kitti_stereo", "euroc", "fisheye_bird"])
+                             "kitti_stereo", "euroc", "euroc_stereo",
+                             "fisheye_bird"])
     ap.add_argument("--root", required=True)
     ap.add_argument("--config", default=None, help="ORB-SLAM2-style YAML")
     ap.add_argument("--out", default="trajectory_tum.txt")
@@ -45,7 +46,8 @@ def main(argv=None):
 
     sensor = {
         "tum_mono": "mono", "tum_rgbd": "rgbd", "kitti_mono": "mono",
-        "kitti_stereo": "stereo", "euroc": "mono", "fisheye_bird": "mono_bird",
+        "kitti_stereo": "stereo", "euroc": "mono",
+        "euroc_stereo": "stereo", "fisheye_bird": "mono_bird",
     }[args.dataset]
     if args.config:
         cfg = SlamConfig.from_yaml(args.config, sensor=sensor)
@@ -63,6 +65,12 @@ def main(argv=None):
         "kitti_mono": lambda: datasets.load_kitti(args.root, stereo=False),
         "kitti_stereo": lambda: datasets.load_kitti(args.root, stereo=True),
         "euroc": lambda: datasets.load_euroc(args.root),
+        # stereo EuRoC pre-rectifies with the LEFT./RIGHT. blocks from the
+        # config, exactly `stereo_euroc.cc` (raw EuRoC frames are unrectified)
+        "euroc_stereo": lambda: datasets.load_euroc(
+            args.root, stereo=True,
+            rectifier=(datasets.parse_rectification(args.config)
+                       if args.config else None)),
         "fisheye_bird": lambda: datasets.load_fisheye_birdview(args.root),
     }[args.dataset]()
 
