@@ -231,7 +231,18 @@ def select_uniform_topk(resp, k_out: int, cell: int, per_cell: int):
     cells = r.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(
         ncy * ncx, cell * cell
     )
-    vals, idx = jax.lax.top_k(cells, per_cell)  # (ncells, per_cell)
+    # per-cell top-k by iterated max: per_cell is tiny (4), so 4 masked
+    # max/argmax sweeps on the VPU beat lax.top_k's full 256-lane sort
+    lanes = jnp.arange(cells.shape[1], dtype=jnp.int32)
+    rem = cells
+    vals_l, idx_l = [], []
+    for _ in range(per_cell):
+        i = jnp.argmax(rem, axis=1)
+        vals_l.append(jnp.take_along_axis(rem, i[:, None], axis=1)[:, 0])
+        idx_l.append(i)
+        rem = jnp.where(lanes[None, :] == i[:, None], -jnp.inf, rem)
+    vals = jnp.stack(vals_l, axis=1)            # (ncells, per_cell)
+    idx = jnp.stack(idx_l, axis=1)
     valid_cand = vals > 0.0
     rank_pen = jnp.arange(per_cell, dtype=resp.dtype) * jnp.asarray(1e7, resp.dtype)
     comp = jnp.where(valid_cand, vals - rank_pen[None, :], -jnp.inf)
@@ -348,16 +359,20 @@ def brief_from_patches(patches_blur, angle):
     row = jnp.clip(BLUR_C + ry, 0, S - 1)  # (K,512)
     col = jnp.clip(BLUR_C + rx, 0, S - 1)
     iota = jnp.arange(S, dtype=jnp.int32)
-    # one-hot weights are exactly representable; f32 matmul keeps selected
-    # sample values bit-exact for the < comparison below
-    rowsel = (row[:, :, None] == iota[None, None, :]).astype(jnp.float32)
-    colsel = (col[:, :, None] == iota[None, None, :]).astype(jnp.float32)
+    # blurred samples are compared as integers, exactly like the reference
+    # (cv2 blurs the uint8 image in place, ORBextractor.cc:1084-1090);
+    # integers ≤ 256 are exact in bf16, so the one-hot selection chain runs
+    # entirely in bf16 — halving the HBM traffic of the (K,512,S) tensors,
+    # the dominant BRIEF cost — while staying bit-exact
+    pb = jnp.round(patches_blur).astype(jnp.bfloat16)
+    rowsel = (row[:, :, None] == iota[None, None, :]).astype(jnp.bfloat16)
+    colsel = (col[:, :, None] == iota[None, None, :]).astype(jnp.bfloat16)
     rows = jax.lax.dot_general(
-        rowsel, patches_blur.astype(jnp.float32),
+        rowsel, pb,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.bfloat16,
     )  # (K,512,S)
-    samp = jnp.sum(rows * colsel, axis=-1)  # (K,512)
+    samp = jnp.sum(rows * colsel, axis=-1)  # (K,512); one nonzero per lane
     bits = (samp[:, :256] < samp[:, 256:]).astype(jnp.uint8)
     return jnp.packbits(bits, axis=-1, bitorder="little")
 
@@ -418,12 +433,16 @@ def _extract_impl(img, mask, cfg: ORBConfig, height: int, width: int):
     budgets = cfg.level_budgets()
     scales = cfg.level_scales()
 
-    out_xy, out_resp, out_ang, out_oct, out_val, out_desc = [], [], [], [], [], []
-    lvl_img = img
+    out_xy, out_resp, out_patch, out_oct, out_val = [], [], [], [], []
+    # integer-valued pyramid: cv::ORB keeps every level in uint8
+    # (ComputePyramid, ORBextractor.cc:1107-1132), so rounding the bilinear
+    # resize output matches the reference AND makes the bf16 patch-gather
+    # DMA path bit-exact (integers ≤ 256 are exact in bf16)
+    lvl_img = jnp.round(img)
     for l in range(cfg.n_levels):
         h, w = sizes[l]
         if l > 0:
-            lvl_img = resize_bilinear(lvl_img, h, w)
+            lvl_img = jnp.round(resize_bilinear(lvl_img, h, w))
         resp, corner = fast_response(lvl_img, cfg.min_threshold)
         resp = jnp.where(corner, resp, 0.0)
         resp = resp * _border_mask(h, w, EDGE_MARGIN)
@@ -435,8 +454,6 @@ def _extract_impl(img, mask, cfg: ORBConfig, height: int, width: int):
         k_l = max(budgets[l], 1)
         ys, xs, r, valid = select_uniform_topk(resp, k_l, cfg.cell, cfg.per_cell)
         patches = extract_patches(lvl_img, ys, xs)
-        ang = ic_angle_from_patches(patches)
-        desc = brief_from_patches(blur_patches(patches), ang)
         # subpixel refinement: quadratic fit on the response surface — the
         # reference runs cv::cornerSubPix on the BEV stream
         # (`src/Frame.cc:334-340`); we refine both streams
@@ -446,17 +463,20 @@ def _extract_impl(img, mask, cfg: ORBConfig, height: int, width: int):
                          (ys.astype(jnp.float32) + dy) * s], -1)
         out_xy.append(xy0)
         out_resp.append(r)
-        out_ang.append(ang)
+        out_patch.append(patches)
         out_oct.append(jnp.full((k_l,), l, dtype=jnp.int32))
         out_val.append(valid)
-        out_desc.append(desc)
 
     xy = jnp.concatenate(out_xy, 0)
     response = jnp.concatenate(out_resp, 0)
-    angle = jnp.concatenate(out_ang, 0)
     octave = jnp.concatenate(out_oct, 0)
     valid = jnp.concatenate(out_val, 0)
-    desc_u8 = jnp.concatenate(out_desc, 0)
+    # orientation + BRIEF once over ALL levels' patches: one big batched
+    # einsum/matmul set instead of 8 small ones (per-op overheads and tile
+    # padding waste shrink with batch size)
+    patches_all = jnp.concatenate(out_patch, 0)
+    angle = ic_angle_from_patches(patches_all)
+    desc_u8 = brief_from_patches(blur_patches(patches_all), angle)
 
     # pad total capacity to a multiple of 128 (TPU lane alignment)
     total = xy.shape[0]

@@ -5,10 +5,18 @@ XLA lowers the vmapped `dynamic_slice` to a gather that runs at ~17 GB/s
 effective on TPU (~1.9 ms/frame measured). Here each keypoint's window is
 DMA'd HBM→VMEM and shifted into place on the MXU:
 
-- Mosaic requires DMA starts aligned to the (8, 128) f32 tile, so the copy
-  fetches the aligned (56, 256) window containing the patch;
+- Mosaic requires DMA starts aligned to the dtype tile — (16, 128) for
+  bf16 — so the copy fetches the aligned (64, 128) window containing the
+  patch. A single 128-lane tile suffices because the kernel reads from a
+  stacked pair [image; image shifted left by 64 px]: picking the copy by
+  `x % 128 >= 64` bounds the residual column shift to 0..63, and
+  63 + 48 ≤ 128. (The f32 single-copy predecessor fetched (56, 256) = 57 KB
+  per patch; this fetches 16 KB.)
+- the image is bf16: pyramid levels are integer-valued (see
+  `orb._extract_impl`, matching cv::ORB's uint8 pyramid), and bf16 holds
+  integers ≤ 256 exactly, so the gather is bit-exact while halving DMA bytes;
 - the residual (dy, dx) shift becomes two one-hot shift matrices built from
-  iota comparisons in VMEM — out = R(48×56) @ W @ C(256×48) on the MXU —
+  iota comparisons in VMEM — out = R(48×64) @ W @ C(128×48) on the MXU —
   so the unaligned gather never exists anywhere;
 - 8 keypoints per grid step with per-slot semaphores keep several DMAs in
   flight (per-DMA issue latency would otherwise dominate).
@@ -30,19 +38,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BK = 8          # keypoints per grid step
-WIN_R = 56      # aligned window rows: 48 + (ys % 8), rounded to 8
-WIN_C = 256     # aligned window cols: 48 + (xs % 128), rounded to 128
+WIN_R = 64      # aligned window rows: 48 + (ys % 16), rounded to 16 (bf16 tile)
+WIN_C = 128     # one lane tile (shifted-copy trick bounds dx to 0..63)
 
 
-def _patch_kernel(ys_ref, xs_ref, img_ref, out_ref, win, sems, *, size):
+def _patch_kernel(ys_ref, xs_ref, img_ref, out_ref, win, sems, *, size, h2):
     b = pl.program_id(0)
 
-    def dma(j):
+    def coords(j):
         y = ys_ref[b * BK + j]
         x = xs_ref[b * BK + j]
+        sel = (x % 128 >= 64).astype(jnp.int32)   # use the −64-shifted copy
+        xs_ = x - 64 * sel
+        return y, xs_, sel
+
+    def dma(j):
+        y, xs_, sel = coords(j)
         return pltpu.make_async_copy(
-            img_ref.at[pl.ds((y // 8) * 8, WIN_R),
-                       pl.ds((x // 128) * 128, WIN_C)],
+            img_ref.at[pl.ds((y // 16) * 16 + sel * h2, WIN_R),
+                       pl.ds((xs_ // 128) * 128, WIN_C)],
             win.at[j],
             sems.at[j],
         )
@@ -56,12 +70,18 @@ def _patch_kernel(ys_ref, xs_ref, img_ref, out_ref, win, sems, *, size):
     jc = jax.lax.broadcasted_iota(jnp.int32, (WIN_C, size), 1)
     for j in range(BK):
         dma(j).wait()
-        dy = ys_ref[b * BK + j] % 8
-        dx = xs_ref[b * BK + j] % 128
+        y, xs_, _ = coords(j)
+        dy = y % 16
+        dx = xs_ % 128
         R = (jr == ir + dy).astype(jnp.float32)           # (size, WIN_R)
         C = (ic == jc + dx).astype(jnp.float32)           # (WIN_C, size)
+        # the DMA window is bf16 (exact: integer pixels ≤ 256) to halve the
+        # HBM fetch; the shift matmuls run f32 — Mosaic rejects bf16
+        # accumulators and mixed bf16×f32 contractions, and the in-VMEM
+        # upconvert is free next to the DMA savings
         rows = jax.lax.dot_general(
-            R, win[j], dimension_numbers=(((1,), (0,)), ((), ())),
+            R, win[j].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (size, WIN_C)
         out_ref[j] = jax.lax.dot_general(
             rows, C, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -70,24 +90,31 @@ def _patch_kernel(ys_ref, xs_ref, img_ref, out_ref, win, sems, *, size):
 
 @functools.partial(jax.jit, static_argnames=("size", "interpret"))
 def gather_patches(padded_img, ys, xs, size: int, interpret: bool = False):
-    """(Hp,Wp) f32, (K,) int32 top-left coords -> (K,size,size) f32."""
-    assert size <= WIN_R - 7 and size <= WIN_C - 127
+    """(Hp,Wp) f32, (K,) int32 top-left coords -> (K,size,size) f32.
+
+    Exact for integer-valued images (the ORB pyramid is; see module doc);
+    non-integer inputs are rounded to bf16."""
+    assert size <= WIN_R - 15 and size <= WIN_C - 63
     k = ys.shape[0]
     kb = -(-k // BK)
     kpad = kb * BK - k
+    Hp, Wp = padded_img.shape
     # dynamic_slice clamps out-of-range starts; match that (padded keypoint
     # slots may carry arbitrary coords)
-    ys = jnp.clip(ys.astype(jnp.int32), 0, padded_img.shape[0] - size)
-    xs = jnp.clip(xs.astype(jnp.int32), 0, padded_img.shape[1] - size)
+    ys = jnp.clip(ys.astype(jnp.int32), 0, Hp - size)
+    xs = jnp.clip(xs.astype(jnp.int32), 0, Wp - size)
     if kpad:
         ys = jnp.pad(ys, (0, kpad))
         xs = jnp.pad(xs, (0, kpad))
-    # grow the image so every aligned window is in-bounds (content of the
-    # overhang never reaches the output: the shift matrices zero it)
-    hp = padded_img.shape[0] + WIN_R
-    wp = padded_img.shape[1] + WIN_C
-    img = jnp.pad(padded_img,
-                  ((0, hp - padded_img.shape[0]), (0, wp - padded_img.shape[1])))
+    # stacked pair [image; image << 64 px], each padded so every aligned
+    # (64,128) window is in-bounds (overhang content never reaches the
+    # output: the shift matrices zero it)
+    h2 = -(-(Hp + 16) // 16) * 16
+    w2 = (-(-Wp // 128) + 1) * 128
+    imgq = padded_img.astype(jnp.bfloat16)
+    a = jnp.pad(imgq, ((0, h2 - Hp), (0, w2 - Wp)))
+    bsh = jnp.pad(imgq[:, 64:], ((0, h2 - Hp), (0, w2 - (Wp - 64))))
+    stacked = jnp.concatenate([a, bsh], axis=0)           # (2*h2, w2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(kb,),
@@ -96,16 +123,16 @@ def gather_patches(padded_img, ys, xs, size: int, interpret: bool = False):
             (BK, size, size), lambda b, ys, xs: (b, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((BK, WIN_R, WIN_C), jnp.float32),
+            pltpu.VMEM((BK, WIN_R, WIN_C), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((BK,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_patch_kernel, size=size),
+        functools.partial(_patch_kernel, size=size, h2=h2),
         out_shape=jax.ShapeDtypeStruct((kb * BK, size, size), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(ys, xs, img.astype(jnp.float32))
+    )(ys, xs, stacked)
     return out[:k]
 
 

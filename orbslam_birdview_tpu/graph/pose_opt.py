@@ -72,44 +72,38 @@ def _build_normal_eq(R, t, Xw, obs, info, active, fx, fy, cx, cy,
           fx * xz * yz, -fx * (1.0 + xz * xz), fx * yz]
     Jv = [zero, -fy * zi, fy * yz * zi,
           fy * (1.0 + yz * yz), -fy * xz * yz, -fy * xz]
-    rows = [jnp.concatenate([Ju[k], Jv[k]]) for k in range(6)]
-    rows.append(jnp.concatenate([eu, ev]))
-    P = jnp.stack(rows)                       # (7, 2N)
-    w2 = jnp.concatenate([w, w])
-    # nt-contraction: contracting dim 1 of both sides avoids materializing
-    # P.T, whose (2N,7) tile-padded layout wastes HBM traffic (measured
-    # 1.45 -> 1.27 ms per 40-iteration pose opt).
-    # (A fully fused Pallas LM kernel was tried and rejected: 2.2x slower
-    # than this XLA path — Mosaic executes the scalar-heavy 6x6 Cholesky
-    # far worse than XLA's fused pipeline — and took minutes to compile.)
-    A = jax.lax.dot_general((P * w2), P, (((1,), (1,)), ((), ())),
-                            preferred_element_type=P.dtype)  # (7,7) MXU
-    H, g = A[:6, :6], A[:6, 6]
-
-    # bird 3D point-to-point edges (same SoA treatment, 9+3 rows)
-    eb = obs_b - (Xw_b @ R.T + t)
+    # bird 3D point-to-point edges: residual e = obs − (R Xw_b + t),
+    # J_b = −[I | −hat(Xc)] (3,6) per edge
+    Xb = Xw_b @ R.T + t
+    xb, yb, zb = Xb[:, 0], Xb[:, 1], Xb[:, 2]
+    eb = obs_b - Xb
     chi2_b = jnp.sum(eb * eb, axis=-1) * info_b
     wb = jnp.where(use_huber, robust.huber_weight(chi2_b, CHI2_BIRD), 1.0)
     wb = wb * info_b * active_b.astype(dtype)
-    Xb = Xw_b @ R.T + t
-    xb, yb, zb = Xb[:, 0], Xb[:, 1], Xb[:, 2]
     zerob = jnp.zeros_like(xb)
     oneb = jnp.ones_like(xb)
-    # J_b = −[I | −hat(Xc)] (3,6) per edge; rows over the 3 residual dims
-    Jb_rows = [
+    Jb = [
         [-oneb, zerob, zerob, zerob, -zb, yb],
         [zerob, -oneb, zerob, zb, zerob, -xb],
         [zerob, zerob, -oneb, -yb, xb, zerob],
     ]
-    rowsb = [jnp.concatenate([Jb_rows[0][k], Jb_rows[1][k], Jb_rows[2][k]])
-             for k in range(6)]
-    rowsb.append(jnp.concatenate([eb[:, 0], eb[:, 1], eb[:, 2]]))
-    Pb = jnp.stack(rowsb)                     # (7, 3Nb)
-    wb3 = jnp.concatenate([wb, wb, wb])
-    Ab = jax.lax.dot_general((Pb * wb3), Pb, (((1,), (1,)), ((), ())),
-                             preferred_element_type=Pb.dtype)
-    H = H + Ab[:6, :6]
-    g = g + Ab[:6, 6]
+    # mono (2N cols) and bird (3Nb cols) edges share one (7, 2N+3Nb)
+    # stack, so H, g, and eᵀWe for the whole problem come out of a single
+    # MXU matmul instead of two.
+    rows = [jnp.concatenate([Ju[k], Jv[k], Jb[0][k], Jb[1][k], Jb[2][k]])
+            for k in range(6)]
+    rows.append(jnp.concatenate([eu, ev, eb[:, 0], eb[:, 1], eb[:, 2]]))
+    P = jnp.stack(rows)                       # (7, 2N+3Nb)
+    wall = jnp.concatenate([w, w, wb, wb, wb])
+    # nt-contraction: contracting dim 1 of both sides avoids materializing
+    # P.T, whose tile-padded layout wastes HBM traffic (measured
+    # 1.45 -> 1.27 ms per 40-iteration pose opt).
+    # (A fully fused Pallas LM kernel was tried and rejected: 2.2x slower
+    # than this XLA path — Mosaic executes the scalar-heavy 6x6 Cholesky
+    # far worse than XLA's fused pipeline — and took minutes to compile.)
+    A = jax.lax.dot_general((P * wall), P, (((1,), (1,)), ((), ())),
+                            preferred_element_type=P.dtype)  # (7,7) MXU
+    H, g = A[:6, :6], A[:6, 6]
     cost = cost + jnp.sum(jnp.where(active_b,
                                     jnp.where(use_huber, robust.huber_rho(chi2_b, CHI2_BIRD), chi2_b),
                                     0.0))

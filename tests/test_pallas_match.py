@@ -38,7 +38,9 @@ def test_patch_gather_kernel_interpret(rng):
 
     from orbslam_birdview_tpu.frontend import patch_kernel
 
-    img = jnp.asarray(rng.uniform(0, 255, (120, 160)).astype("float32"))
+    # integer-valued image: the kernel's bf16 DMA is exact for integers
+    # ≤ 256 (the ORB pyramid is integer-valued; see orb._extract_impl)
+    img = jnp.asarray(rng.integers(0, 256, (120, 160)).astype("float32"))
     padded = jnp.pad(img, 24, mode="edge")
     ys = jnp.asarray(rng.integers(-5, 140, 53).astype("int32"))
     xs = jnp.asarray(rng.integers(-5, 180, 53).astype("int32"))
