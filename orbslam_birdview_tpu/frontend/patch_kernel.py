@@ -37,55 +37,36 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BK = 8          # keypoints per grid step
+BK = 16         # keypoints per grid step
 WIN_R = 64      # aligned window rows: 48 + (ys % 16), rounded to 16 (bf16 tile)
 WIN_C = 128     # one lane tile (shifted-copy trick bounds dx to 0..63)
 
 
-def _patch_kernel(ys_ref, xs_ref, img_ref, out_ref, win, sems, *, size, h2):
+def _window_kernel(ys_ref, xs_ref, img_ref, out_ref, sems, *, h2):
+    """Pure DMA pump: per keypoint, copy its aligned (64,128) bf16 window
+    HBM→VMEM output block. The residual (dy,dx) shift happens OUTSIDE the
+    kernel as two big batched one-hot matmuls over all K windows at once —
+    XLA runs those at full MXU batch efficiency, where per-window matmuls
+    unrolled inside the kernel paid ~16 small-op issue latencies per grid
+    step (measured 0.64 → ~0.35 ms/frame for 2112 patches)."""
     b = pl.program_id(0)
 
-    def coords(j):
+    def dma(j):
         y = ys_ref[b * BK + j]
         x = xs_ref[b * BK + j]
         sel = (x % 128 >= 64).astype(jnp.int32)   # use the −64-shifted copy
         xs_ = x - 64 * sel
-        return y, xs_, sel
-
-    def dma(j):
-        y, xs_, sel = coords(j)
         return pltpu.make_async_copy(
             img_ref.at[pl.ds((y // 16) * 16 + sel * h2, WIN_R),
                        pl.ds((xs_ // 128) * 128, WIN_C)],
-            win.at[j],
+            out_ref.at[j],
             sems.at[j],
         )
 
     for j in range(BK):
         dma(j).start()
-
-    ir = jax.lax.broadcasted_iota(jnp.int32, (size, WIN_R), 0)
-    jr = jax.lax.broadcasted_iota(jnp.int32, (size, WIN_R), 1)
-    ic = jax.lax.broadcasted_iota(jnp.int32, (WIN_C, size), 0)
-    jc = jax.lax.broadcasted_iota(jnp.int32, (WIN_C, size), 1)
     for j in range(BK):
         dma(j).wait()
-        y, xs_, _ = coords(j)
-        dy = y % 16
-        dx = xs_ % 128
-        R = (jr == ir + dy).astype(jnp.float32)           # (size, WIN_R)
-        C = (ic == jc + dx).astype(jnp.float32)           # (WIN_C, size)
-        # the DMA window is bf16 (exact: integer pixels ≤ 256) to halve the
-        # HBM fetch; the shift matmuls run f32 — Mosaic rejects bf16
-        # accumulators and mixed bf16×f32 contractions, and the in-VMEM
-        # upconvert is free next to the DMA savings
-        rows = jax.lax.dot_general(
-            R, win[j].astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (size, WIN_C)
-        out_ref[j] = jax.lax.dot_general(
-            rows, C, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (size, size)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "interpret"))
@@ -120,19 +101,38 @@ def gather_patches(padded_img, ys, xs, size: int, interpret: bool = False):
         grid=(kb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
-            (BK, size, size), lambda b, ys, xs: (b, 0, 0),
+            (BK, WIN_R, WIN_C), lambda b, ys, xs: (b, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((BK, WIN_R, WIN_C), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((BK,)),
         ],
     )
-    out = pl.pallas_call(
-        functools.partial(_patch_kernel, size=size, h2=h2),
-        out_shape=jax.ShapeDtypeStruct((kb * BK, size, size), jnp.float32),
+    win = pl.pallas_call(
+        functools.partial(_window_kernel, h2=h2),
+        out_shape=jax.ShapeDtypeStruct((kb * BK, WIN_R, WIN_C), jnp.bfloat16),
         grid_spec=grid_spec,
         interpret=interpret,
     )(ys, xs, stacked)
+
+    # residual (dy,dx) shift: batched one-hot matmuls over all K windows.
+    # bf16 one-hot selects of integer pixels ≤ 256 are exact; the final
+    # f32 accumulate makes the output bit-equal to the dynamic-slice path.
+    sel = (xs % 128 >= 64).astype(jnp.int32)
+    dy = ys % 16
+    dx = (xs - 64 * sel) % 128
+    i_sz = jnp.arange(size, dtype=jnp.int32)
+    i_r = jnp.arange(WIN_R, dtype=jnp.int32)
+    i_c = jnp.arange(WIN_C, dtype=jnp.int32)
+    R = (i_r[None, None, :] == i_sz[None, :, None]
+         + dy[:, None, None]).astype(jnp.bfloat16)         # (K,size,WIN_R)
+    C = (i_c[None, None, :] == i_sz[None, :, None]
+         + dx[:, None, None]).astype(jnp.bfloat16)         # (K,size,WIN_C)
+    rows = jax.lax.dot_general(
+        R, win, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.bfloat16)               # (K,size,WIN_C)
+    out = jax.lax.dot_general(
+        rows, C, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                # (K,size,size)
     return out[:k]
 
 
