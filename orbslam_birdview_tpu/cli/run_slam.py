@@ -30,8 +30,8 @@ def main(argv=None):
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--no-loop-closing", action="store_true")
     ap.add_argument("--vocab", default=None,
-                    help="vocabulary: DBoW2 text (ORBvoc.txt, the "
-                         "reference's format) or an .npz saved by "
+                    help="vocabulary: DBoW2 text (ORBvoc.txt), DBoW2 "
+                         "binary (.bin), or an .npz saved by "
                          "Vocabulary.save")
     ap.add_argument("--timing", action="store_true",
                     help="print the per-stage timing summary at exit")
@@ -78,10 +78,9 @@ def main(argv=None):
     if args.vocab:
         from ..mapping import vocab as V
 
-        if args.vocab.endswith(".npz"):
-            vocabulary = V.Vocabulary.load(args.vocab)
-        else:
-            vocabulary = V.load_dbow2_text(args.vocab)
+        # suffix-dispatched like the reference (src/System.cc:70-83):
+        # .npz native, .bin DBoW2 binary, else DBoW2 text
+        vocabulary = V.load_dbow2(args.vocab)
         print(f"vocabulary: {vocabulary.n_words} words "
               f"(k={vocabulary.branching}, L={vocabulary.depth})")
 

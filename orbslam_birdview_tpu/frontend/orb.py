@@ -215,14 +215,8 @@ def nms3(resp):
 # Spatially-uniform top-k selection (octree replacement)
 # ---------------------------------------------------------------------------
 
-def select_uniform_topk(resp, k_out: int, cell: int, per_cell: int):
-    """Pick k_out keypoints, spatially balanced.
-
-    Within each cell keep the top `per_cell` responses; globally rank by
-    (rank-in-cell asc, response desc) so every cell's best is preferred over
-    any cell's second-best — the same uniformity contract as the reference's
-    quad-tree (`DistributeOctTree`). Returns (ys, xs, resp_out, valid).
-    """
+def _resp_to_cells(resp, cell: int):
+    """(H,W) response -> ((ncells, cell²) rows, ncy, ncx)."""
     H, W = resp.shape
     Hp = -(-H // cell) * cell
     Wp = -(-W // cell) * cell
@@ -231,8 +225,13 @@ def select_uniform_topk(resp, k_out: int, cell: int, per_cell: int):
     cells = r.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(
         ncy * ncx, cell * cell
     )
-    # per-cell top-k by iterated max: per_cell is tiny (4), so 4 masked
-    # max/argmax sweeps on the VPU beat lax.top_k's full 256-lane sort
+    return cells, ncy, ncx
+
+
+def _cells_topk(cells, per_cell: int):
+    """Per-cell top-k by iterated max: per_cell is tiny (4), so 4 masked
+    max/argmax sweeps on the VPU beat lax.top_k's full 256-lane sort.
+    Returns (vals (ncells,per_cell), idx (ncells,per_cell))."""
     lanes = jnp.arange(cells.shape[1], dtype=jnp.int32)
     rem = cells
     vals_l, idx_l = [], []
@@ -241,10 +240,18 @@ def select_uniform_topk(resp, k_out: int, cell: int, per_cell: int):
         vals_l.append(jnp.take_along_axis(rem, i[:, None], axis=1)[:, 0])
         idx_l.append(i)
         rem = jnp.where(lanes[None, :] == i[:, None], -jnp.inf, rem)
-    vals = jnp.stack(vals_l, axis=1)            # (ncells, per_cell)
-    idx = jnp.stack(idx_l, axis=1)
+    return jnp.stack(vals_l, axis=1), jnp.stack(idx_l, axis=1)
+
+
+def _pick_topk(vals, idx, k_out: int, cell: int, ncx: int):
+    """Global rank-penalized top-k over one level's per-cell candidates.
+
+    Rank by (rank-in-cell asc, response desc) so every cell's best is
+    preferred over any cell's second-best — the same uniformity contract as
+    the reference's quad-tree (`DistributeOctTree`)."""
+    per_cell = vals.shape[1]
     valid_cand = vals > 0.0
-    rank_pen = jnp.arange(per_cell, dtype=resp.dtype) * jnp.asarray(1e7, resp.dtype)
+    rank_pen = jnp.arange(per_cell, dtype=vals.dtype) * jnp.asarray(1e7, vals.dtype)
     comp = jnp.where(valid_cand, vals - rank_pen[None, :], -jnp.inf)
     flat_comp = comp.reshape(-1)
     # approx_max_k: TPU-optimized partial reduction (exact top_k pays a
@@ -255,15 +262,22 @@ def select_uniform_topk(resp, k_out: int, cell: int, per_cell: int):
     top_comp, top_idx = jax.lax.approx_max_k(
         flat_comp, k_out, recall_target=0.97)
     cell_id = top_idx // per_cell
-    within_rank = top_idx % per_cell
-    pix = jnp.take(idx.reshape(-1), cell_id * per_cell + within_rank)
+    pix = jnp.take(idx.reshape(-1), top_idx)
     cy, cx = cell_id // ncx, cell_id % ncx
     dy, dx = pix // cell, pix % cell
     ys = cy * cell + dy
     xs = cx * cell + dx
     valid = top_comp > -jnp.inf / 2
-    resp_out = jnp.take(cells.reshape(-1), cell_id * (cell * cell) + pix)
+    resp_out = jnp.take(vals.reshape(-1), top_idx)
     return ys, xs, jnp.where(valid, resp_out, 0.0), valid
+
+
+def select_uniform_topk(resp, k_out: int, cell: int, per_cell: int):
+    """Pick k_out keypoints, spatially balanced (see _pick_topk).
+    Returns (ys, xs, resp_out, valid)."""
+    cells, _, ncx = _resp_to_cells(resp, cell)
+    vals, idx = _cells_topk(cells, per_cell)
+    return _pick_topk(vals, idx, k_out, cell, ncx)
 
 
 # ---------------------------------------------------------------------------
@@ -444,6 +458,9 @@ def _extract_impl(img, mask, cfg: ORBConfig, height: int, width: int):
     # (ComputePyramid, ORBextractor.cc:1107-1132), so rounding the bilinear
     # resize output matches the reference AND makes the bf16 patch-gather
     # DMA path bit-exact (integers ≤ 256 are exact in bf16)
+    # (NOTE: selection stays per-level — concatenating all levels' cells
+    # for one batched sweep was tried and measured neutral-to-worse: the
+    # concat forces materialization that blocks XLA's per-level fusion)
     lvl_img = jnp.round(img)
     for l in range(cfg.n_levels):
         h, w = sizes[l]

@@ -141,11 +141,58 @@ def load_dbow2_text(path: str) -> Vocabulary:
     is_leaf = rows[:, 1] != 0
     desc_u8 = rows[:, 2:34].astype(np.uint8)
     leaf_weight = rows[:, 34].astype(np.float32)
+    return _relayout_dbow2(k, L, parents, is_leaf, desc_u8, leaf_weight)
+
+
+def load_dbow2_binary(path: str) -> Vocabulary:
+    """Import a DBoW2 binary vocabulary (the fork's `loadFromBinaryFile`,
+    `Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h:1466-1507`; selected at
+    runtime by file suffix in `src/System.cc:70-83`).
+
+    Layout: header = uint32 nb_nodes, uint32 size_node, int32 k, int32 L,
+    int32 scoring, int32 weighting; then one `size_node`-byte record per
+    non-root node in creation (BFS) order:
+    int32 parent | 32-byte descriptor | float32 weight | 1-byte is_leaf."""
+    raw = np.fromfile(path, np.uint8)
+    if raw.size < 24:
+        raise ValueError(f"{path}: too short for a DBoW2 binary vocabulary")
+    nb_nodes, size_node = np.frombuffer(raw[:8].tobytes(), "<u4")
+    k, L = np.frombuffer(raw[8:16].tobytes(), "<i4")
+    if size_node != 4 + 32 + 4 + 1:
+        raise ValueError(f"{path}: node record size {size_node} != 41 "
+                         "(not an ORB/FORB binary vocabulary)")
+    body = raw[24:]
+    n = body.size // size_node
+    if n < max(int(nb_nodes) - 1, 1):
+        raise ValueError(f"{path}: truncated ({n} records, header says "
+                         f"{nb_nodes} nodes)")
+    rec = body[: n * size_node].reshape(n, size_node)
+    parents = rec[:, :4].copy().view("<i4")[:, 0].astype(np.int64)
+    desc_u8 = rec[:, 4:36].copy()
+    leaf_weight = rec[:, 36:40].copy().view("<f4")[:, 0].astype(np.float32)
+    is_leaf = rec[:, 40] != 0
+    return _relayout_dbow2(int(k), int(L), parents, is_leaf, desc_u8,
+                           leaf_weight)
+
+
+def load_dbow2(path: str) -> Vocabulary:
+    """Load any supported vocabulary file by suffix (.npz native,
+    .bin binary DBoW2, anything else = DBoW2 text)."""
+    if path.endswith(".npz"):
+        return Vocabulary.load(path)
+    if path.endswith(".bin"):
+        return load_dbow2_binary(path)
+    return load_dbow2_text(path)
+
+
+def _relayout_dbow2(k, L, parents, is_leaf, desc_u8, leaf_weight):
+    """Common DBoW2 import: re-layout a (parent, is_leaf, desc, weight)
+    node table into this module's complete-tree centroid tensors."""
     # bytes -> ±1 bits, little-endian bit order (matches unpack_bits_to_pm1)
     bits = np.unpackbits(desc_u8, axis=1, bitorder="little")
     pm1 = (bits.astype(np.int8) * 2 - 1).astype(np.int8)
 
-    n_nodes = len(rows)
+    n_nodes = len(parents)
     node_ids = np.arange(1, n_nodes + 1)          # file order = DBoW2 id
     # children lists per parent, in file order
     order = np.argsort(parents, kind="stable")

@@ -236,3 +236,54 @@ def test_dbow2_text_import(tmp_path):
         _, word, _ = V.transform(voc, pm1, jnp.ones(1, bool))
         words.append(int(word[0]))
     assert len(set(words)) == 6, words
+
+
+def test_dbow2_binary_import(tmp_path):
+    """Write the same tiny vocabulary in the fork's binary format
+    (TemplatedVocabulary.h:1512-1533 layout) and check it imports
+    identically to the text loader."""
+    import struct
+
+    import jax.numpy as jnp
+    from orbslam_birdview_tpu.frontend.keypoints import unpack_bits_to_pm1
+    from orbslam_birdview_tpu.mapping import vocab as V
+
+    descs = np.zeros((9, 32), np.uint8)
+    descs[1, :] = 0x00
+    descs[2, :] = 0xFF
+    descs[3, :] = 0x0F
+    descs[4] = descs[1].copy(); descs[4, 0] = 0x01
+    descs[5] = descs[1].copy(); descs[5, 1] = 0x03
+    descs[6] = descs[1].copy(); descs[6, 2] = 0x07
+    descs[7] = descs[2].copy(); descs[7, 0] = 0xFE
+    descs[8] = descs[2].copy(); descs[8, 1] = 0xF8
+    nodes = [  # (parent, descriptor, weight, is_leaf) in creation order
+        (0, descs[1], 0.0, 0), (0, descs[2], 0.0, 0), (0, descs[3], 0.7, 1),
+        (1, descs[4], 0.4, 1), (1, descs[5], 0.5, 1), (1, descs[6], 0.6, 1),
+        (2, descs[7], 0.8, 1), (2, descs[8], 0.9, 1),
+    ]
+    buf = struct.pack("<IIiiii", len(nodes) + 1, 41, 3, 2, 0, 0)
+    for parent, d, w, leaf in nodes:
+        buf += struct.pack("<i", parent) + bytes(d) + struct.pack(
+            "<f", w) + bytes([leaf])
+    p = tmp_path / "voc.bin"
+    p.write_bytes(buf)
+
+    voc = V.load_dbow2(str(p))
+    assert voc.branching == 3 and voc.depth == 2 and voc.n_words == 9
+    for nid, want_w in [(4, 0.4), (5, 0.5), (6, 0.6), (7, 0.8), (8, 0.9),
+                        (3, 0.7)]:
+        pm1 = unpack_bits_to_pm1(jnp.asarray(descs[nid][None]))
+        _, word, _ = V.transform(voc, pm1, jnp.ones(1, bool))
+        w = float(np.asarray(voc.weights)[int(word[0])])
+        assert abs(w - want_w) < 1e-6, (nid, w, want_w)
+
+    # malformed record size is rejected
+    bad = struct.pack("<IIiiii", 3, 17, 3, 2, 0, 0) + b"\x00" * 34
+    pb = tmp_path / "bad.bin"
+    pb.write_bytes(bad)
+    try:
+        V.load_dbow2_binary(str(pb))
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
