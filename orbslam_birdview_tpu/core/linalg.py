@@ -9,7 +9,31 @@ fully fusible elementwise code on the VPU.
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+
+
+def f32_matmul(fn):
+    """Run `fn` (trace or eager) under full-f32 matmul precision.
+
+    TPU dot_generals on f32 inputs default to single-pass bf16 per operand
+    (~2⁻⁸ relative error). That is intentional and fast for the descriptor
+    /image kernels in `frontend/` (their arrays are explicitly bf16/int8),
+    but catastrophic for geometry: a bf16 R·X at X≈10 m is off by ~4 cm,
+    which projects to ~1–2 px of residual error — inflating every chi²
+    gate and wrecking BA/pose-LM convergence ON TPU while CPU runs (full
+    f32) look fine. Decorate every geometry/solver entry point with this;
+    the context is scoped, so frontend kernels keep their fast paths.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
 
 
 def solve_psd_small(A, b, eps: float = 1e-12):

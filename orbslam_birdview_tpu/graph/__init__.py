@@ -1,1 +1,1 @@
-from . import ba, pose_opt, residuals  # noqa: F401
+from . import ba, ba_large, pose_opt, residuals  # noqa: F401

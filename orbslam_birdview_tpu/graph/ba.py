@@ -26,7 +26,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..core import lie, robust
+from ..core import lie, robust, linalg
 from . import residuals
 
 CHI2_MONO = 5.991
@@ -56,10 +56,25 @@ class BAResult(NamedTuple):
 
 
 def _inv3x3(A):
-    """Batched closed-form 3x3 inverse (adjugate); A (…,3,3)."""
-    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
-    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
-    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    """Batched closed-form 3x3 inverse for PSD blocks; A (…,3,3).
+
+    Jacobi-equilibrated adjugate: B = D^-½ A D^-½ (unit diagonal) is
+    inverted in closed form, then unscaled. Raw cofactor expansion is
+    numerically fatal at f32 for ill-conditioned Hpp blocks (a landmark
+    with one mono observation has rank-2 JᵀJ at scale s≈(f/z)²~10³; its
+    true det ~ s²·λ is BELOW the cancellation noise s³·2⁻²⁴ of the raw
+    expansion, so the computed det — and hence the inverse — is garbage,
+    NaN-ing the Schur solve on TPU). After equilibration every cofactor
+    is O(1) and det(B) ∈ [0,1], so f32 round-off (~2⁻²⁴ absolute) is
+    harmless; det is clamped from below (PSD ⇒ det ≥ 0 exactly; tiny or
+    round-off-negative dets mean a singular block, which LM damping
+    regularizes on the next iteration anyway)."""
+    diag = jnp.diagonal(A, axis1=-2, axis2=-1)
+    s = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
+    B = A * s[..., :, None] * s[..., None, :]
+    a, b, c = B[..., 0, 0], B[..., 0, 1], B[..., 0, 2]
+    d, e, f = B[..., 1, 0], B[..., 1, 1], B[..., 1, 2]
+    g, h, i = B[..., 2, 0], B[..., 2, 1], B[..., 2, 2]
     A11 = e * i - f * h
     A12 = c * h - b * i
     A13 = b * f - c * e
@@ -70,7 +85,7 @@ def _inv3x3(A):
     A32 = b * g - a * h
     A33 = a * e - b * d
     det = a * A11 + b * A21 + c * A31
-    det = jnp.where(jnp.abs(det) > 1e-12, det, 1e-12)
+    det = jnp.maximum(det, 1e-6)
     adj = jnp.stack(
         [
             jnp.stack([A11, A12, A13], -1),
@@ -79,7 +94,21 @@ def _inv3x3(A):
         ],
         -2,
     )
-    return adj / det[..., None, None]
+    inv_B = adj / det[..., None, None]
+    return inv_B * s[..., :, None] * s[..., None, :]
+
+
+def _damp(H, lam, floor=1e-6):
+    """Marquardt damping: H + λ·diag(max(diag H, floor)) — scale-free,
+    unlike λ·I (`g2o` additive default). For f32 TPU this is essential:
+    additive λ=1e-4 leaves a one-observation Hpp block at condition
+    ~(f/z)²/λ ≈ 2²⁴ (unsolvable in f32), multiplicative bounds it by
+    ~(1+λ)/λ ≈ 10⁴. It also prevents the huge |dxp| candidate steps that
+    additive damping allows along weakly-observed directions (ceres'
+    default for the same reason)."""
+    n = H.shape[-1]
+    d = jnp.maximum(jnp.diagonal(H, axis1=-2, axis2=-1), floor)
+    return H + jnp.eye(n, dtype=H.dtype) * (lam * d)[..., None, :]
 
 
 def _edge_terms(kind, cam_R, cam_t, points, es: EdgeSet, intr, use_huber):
@@ -132,7 +161,7 @@ def _cost_only(cam_R, cam_t, points, edge_sets, intr, use_huber):
                 R, t, X, es.obs, es.info, fx, fy, cx, cy)
             chi_th = CHI2_MONO
         elif kind == "stereo":
-            Xc = jnp.einsum("nij,nj->ni", R, X) + t
+            Xc = residuals._rot(R, X) + t
             z = Xc[:, 2]
             zi = 1.0 / jnp.maximum(z, 1e-9)
             u = fx * Xc[:, 0] * zi + cx
@@ -143,7 +172,7 @@ def _cost_only(cam_R, cam_t, points, edge_sets, intr, use_huber):
             ok = z > 1e-6
             chi_th = CHI2_STEREO
         else:
-            e = es.obs - (jnp.einsum("nij,nj->ni", R, X) + t)
+            e = es.obs - (residuals._rot(R, X) + t)
             chi2 = jnp.sum(e * e, -1) * es.info
             ok = jnp.ones(e.shape[0], bool)
             chi_th = CHI2_BIRD
@@ -161,6 +190,21 @@ def _classify(kind, cam_R, cam_t, points, es: EdgeSet, intr):
     return es.valid & ok & (chi2 <= th)
 
 
+def _gram(Ja, w, Jb):
+    """Σ_i Ja[n,i,j]·w[n]·Jb[n,i,k] -> (n,j,k), as a broadcast
+    multiply-reduce. einsum would lower these huge batches of tiny (≤3-dim
+    contraction) matmuls to MXU dot_generals padded 3→128 per operand —
+    ~40x wasted FLOPs and bf16 passes; the VPU form is exact f32 and
+    bandwidth-bound."""
+    return jnp.sum(Ja[:, :, :, None] * (w[:, None, None, None] * Jb[:, :, None, :]),
+                   axis=1)
+
+
+def _gramv(Ja, w, e):
+    """Σ_i Ja[n,i,j]·w[n]·e[n,i] -> (n,j)."""
+    return jnp.sum(Ja * (w[:, None] * e)[:, :, None], axis=1)
+
+
 def _assemble(cam_R, cam_t, points, edge_sets, intr, use_huber, C, P):
     dtype = cam_R.dtype
     Hcc = jnp.zeros((C, 6, 6), dtype)
@@ -176,11 +220,11 @@ def _assemble(cam_R, cam_t, points, edge_sets, intr, use_huber, C, P):
             kind, cam_R, cam_t, points, es, intr, use_huber
         )
         total_cost = total_cost + cost
-        Hcc = Hcc.at[es.cam].add(jnp.einsum("nij,n,nik->njk", Jc, w, Jc))
-        bc = bc.at[es.cam].add(jnp.einsum("nij,n,ni->nj", Jc, w, e))
-        Hpp = Hpp.at[es.pt].add(jnp.einsum("nij,n,nik->njk", Jp, w, Jp))
-        bp = bp.at[es.pt].add(jnp.einsum("nij,n,ni->nj", Jp, w, e))
-        Wblk = jnp.einsum("nij,n,nik->njk", Jc, w, Jp)  # (E,6,3)
+        Hcc = Hcc.at[es.cam].add(_gram(Jc, w, Jc))
+        bc = bc.at[es.cam].add(_gramv(Jc, w, e))
+        Hpp = Hpp.at[es.pt].add(_gram(Jp, w, Jp))
+        bp = bp.at[es.pt].add(_gramv(Jp, w, e))
+        Wblk = _gram(Jc, w, Jp)  # (E,6,3)
         W = W.at[es.cam, :, es.pt, :].add(Wblk)
     return Hcc, bc, Hpp, bp, W, total_cost
 
@@ -188,8 +232,8 @@ def _assemble(cam_R, cam_t, points, edge_sets, intr, use_huber, C, P):
 def _schur_solve(Hcc, bc, Hpp, bp, W, lam, cam_free, pt_free, C, P):
     dtype = Hcc.dtype
     # damping
-    dHcc = Hcc + lam * jnp.eye(6, dtype=dtype)[None]
-    dHpp = Hpp + lam * jnp.eye(3, dtype=dtype)[None]
+    dHcc = _damp(Hcc, lam)
+    dHpp = _damp(Hpp, lam)
     # freeze invalid/fixed points by forcing their block to identity, rhs 0
     eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (P, 3, 3))
     dHpp = jnp.where(pt_free[:, None, None], dHpp, eye3)
@@ -198,21 +242,29 @@ def _schur_solve(Hcc, bc, Hpp, bp, W, lam, cam_free, pt_free, C, P):
 
     Hpp_inv = _inv3x3(dHpp)
     W3 = W.reshape(C * 6, P, 3)
-    Y = jnp.einsum("apk,pkl->apl", W3, Hpp_inv)
+    # Y[a,p,l] = Σ_k W3[a,p,k]·G[p,k,l]: broadcast-reduce on the VPU —
+    # as an einsum this is 4096 batches of (96,3)@(3,3), which XLA pads
+    # onto the MXU at ~3% utilization (measured 4.2 ms/iter; this form
+    # is bandwidth-bound and exact f32)
+    Y = jnp.sum(W3[:, :, :, None] * Hpp_inv[None], axis=2)
     S = jnp.zeros((C * 6, C * 6), dtype)
     # block-diagonal Hcc
     idx = jnp.arange(C)
     S = S.reshape(C, 6, C, 6).at[idx, :, idx, :].add(dHcc).reshape(C * 6, C * 6)
-    S = S - jnp.einsum("apk,bpk->ab", Y, W3)
-    rhs = bc.reshape(-1) - jnp.einsum("apk,pk->a", Y, bp)
+    # true matmul (contract 3P): keep on the MXU, f32 accumulation
+    S = S - jax.lax.dot_general(
+        Y.reshape(C * 6, P * 3), W3.reshape(C * 6, P * 3),
+        (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGHEST)
+    rhs = bc.reshape(-1) - jnp.sum(Y * bp[None], axis=(1, 2))
     # freeze fixed cameras
     free6 = jnp.repeat(cam_free, 6)
     S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
     S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
     rhs = jnp.where(free6, rhs, 0.0)
     dxc = -jnp.linalg.solve(S, rhs)
-    tmp = bp + jnp.einsum("apk,a->pk", W3, dxc)  # bp − W^T (−dxc)
-    dxp = -jnp.einsum("pij,pj->pi", Hpp_inv, tmp)
+    # bp − W^T (−dxc), then the 3x3 block solve — both broadcast-reduce
+    tmp = bp + jnp.sum(W3 * dxc[:, None, None], axis=0)
+    dxp = -jnp.sum(Hpp_inv * tmp[:, None, :], axis=-1)
     dxp = jnp.where(pt_free[:, None], dxp, 0.0)
     return dxc.reshape(C, 6), dxp
 
@@ -225,6 +277,7 @@ import functools
     static_argnames=("fx", "fy", "cx", "cy", "bf", "iters_phase1",
                      "iters_phase2", "reclassify"),
 )
+@linalg.f32_matmul
 def bundle_adjust(
     cam_R,
     cam_t,
@@ -277,12 +330,18 @@ def bundle_adjust(
             Rn, tn = lie.se3_update_left(cam_R, cam_t, dxc)
             pn = points + dxp
             cost1 = _cost_only(Rn, tn, pn, msets, intr, use_huber)
-            ok = (cost1 < cost0) & jnp.isfinite(cost1)
+            # gate on the STEP's finiteness, not just cost1: a NaN pose
+            # fails the z>0 depth check, silently dropping its edges from
+            # cost1 — a NaN state can otherwise look like a cost decrease
+            ok = ((cost1 < cost0) & jnp.isfinite(cost1)
+                  & jnp.all(jnp.isfinite(dxc)) & jnp.all(jnp.isfinite(dxp)))
             cam_R = jnp.where(ok, Rn, cam_R)
             cam_t = jnp.where(ok, tn, cam_t)
             points = jnp.where(ok, pn, points)
             lam = jnp.clip(jnp.where(ok, lam * 0.5, lam * 4.0), 1e-9, 1e8)
-            return (cam_R, cam_t, points, lam), cost1
+            # report the ACCEPTED state's cost (cost0 if the step was
+            # rejected), not the candidate's
+            return (cam_R, cam_t, points, lam), jnp.where(ok, cost1, cost0)
 
         (cam_R, cam_t, points, _), costs = jax.lax.scan(
             body, (cam_R, cam_t, points, jnp.asarray(1e-4, dtype)), None,

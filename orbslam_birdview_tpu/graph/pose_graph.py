@@ -14,7 +14,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..core import lie
+from ..core import lie, linalg
 from . import residuals
 
 
@@ -24,6 +24,7 @@ def sim3_update_left(R, t, s, xi):
 
 
 @functools.partial(jax.jit, static_argnames=("n_iters",))
+@linalg.f32_matmul
 def optimize_sim3_graph(
     R, t, s,            # (K,3,3), (K,3), (K,) vertex Sim3 (world→kf)
     fixed,              # (K,) bool

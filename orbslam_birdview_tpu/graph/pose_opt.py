@@ -54,7 +54,7 @@ def _build_normal_eq(R, t, Xw, obs, info, active, fx, fy, cx, cy,
     come out of a single (7,2N)@(2N,7) MXU matmul.
     Jacobian formulas match residuals.mono_reproj (FD-tested)."""
     dtype = R.dtype
-    Xc = Xw @ R.T + t
+    Xc = residuals._rot(R, Xw) + t
     x, y, z = Xc[:, 0], Xc[:, 1], Xc[:, 2]
     zi = 1.0 / jnp.maximum(z, 1e-9)
     depth_ok = z > 1e-6
@@ -74,7 +74,7 @@ def _build_normal_eq(R, t, Xw, obs, info, active, fx, fy, cx, cy,
           fy * (1.0 + yz * yz), -fy * xz * yz, -fy * xz]
     # bird 3D point-to-point edges: residual e = obs − (R Xw_b + t),
     # J_b = −[I | −hat(Xc)] (3,6) per edge
-    Xb = Xw_b @ R.T + t
+    Xb = residuals._rot(R, Xw_b) + t
     xb, yb, zb = Xb[:, 0], Xb[:, 1], Xb[:, 2]
     eb = obs_b - Xb
     chi2_b = jnp.sum(eb * eb, axis=-1) * info_b

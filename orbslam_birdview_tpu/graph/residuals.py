@@ -28,6 +28,20 @@ import jax.numpy as jnp
 from ..core import lie
 
 
+def _rot(R, X):
+    """R·X as broadcast multiply-reduce: exact f32 on TPU. A (…,3,3)@(…,3)
+    einsum lowers to a batched tiny MXU dot_general whose single-pass bf16
+    operands lose ~2⁻⁸ relative accuracy — at X≈10 m that is ~4 cm of
+    position error ⇒ ~1-2 px of residual error, wrecking chi² gates."""
+    return jnp.sum(R * X[..., None, :], axis=-1)
+
+
+def _mm_small(A, B):
+    """Batched (…,m,k)@(…,k,n) for tiny m,k,n via broadcast-reduce (VPU,
+    exact f32) — same rationale as _rot."""
+    return jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
 def _proj_jac(Xc, fx, fy):
     """∂(u,v)/∂Xc for pinhole projection. Xc (…,3) -> (…,2,3)."""
     x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
@@ -50,21 +64,21 @@ def mono_reproj(R, t, Xw, obs_uv, fx, fy, cx, cy):
     """Monocular reprojection edge.
 
     Returns (e (…,2), J_xi (…,2,6), J_X (…,2,3), depth_ok (…,))."""
-    Xc = jnp.einsum("...ij,...j->...i", R, Xw) + t
+    Xc = _rot(R, Xw) + t
     z = Xc[..., 2]
     zi = 1.0 / jnp.maximum(z, 1e-9)
     pred = jnp.stack([fx * Xc[..., 0] * zi + cx, fy * Xc[..., 1] * zi + cy], axis=-1)
     e = obs_uv - pred
     Jp = _proj_jac(Xc, fx, fy)
     Jxi_xc, _ = _xc_jacs(Xc, R)
-    J_xi = -(Jp @ Jxi_xc)
-    J_X = -(Jp @ R)
+    J_xi = -_mm_small(Jp, Jxi_xc)
+    J_X = -_mm_small(Jp, R)
     return e, J_xi, J_X, z > 1e-6
 
 
 def mono_reproj_cost(R, t, Xw, obs_uv, info, fx, fy, cx, cy):
     """Residual + chi² only (no Jacobians) — for LM candidate evaluation."""
-    Xc = jnp.einsum("...ij,...j->...i", R, Xw) + t
+    Xc = _rot(R, Xw) + t
     z = Xc[..., 2]
     zi = 1.0 / jnp.maximum(z, 1e-9)
     pred = jnp.stack([fx * Xc[..., 0] * zi + cx, fy * Xc[..., 1] * zi + cy],
@@ -76,7 +90,7 @@ def mono_reproj_cost(R, t, Xw, obs_uv, info, fx, fy, cx, cy):
 
 def stereo_reproj(R, t, Xw, obs_uvr, fx, fy, cx, cy, bf):
     """Stereo edge: residual (u, v, u_right) with u_r = u − bf/z."""
-    Xc = jnp.einsum("...ij,...j->...i", R, Xw) + t
+    Xc = _rot(R, Xw) + t
     x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
     zi = 1.0 / jnp.maximum(z, 1e-9)
     u = fx * x * zi + cx
@@ -91,15 +105,15 @@ def stereo_reproj(R, t, Xw, obs_uvr, fx, fy, cx, cy, bf):
     Jur = jnp.stack([fx * zi, zero, -fx * x * zi2 + bf * zi2], axis=-1)
     Jp = jnp.stack([Ju, Jv, Jur], axis=-2)  # (…,3,3)
     Jxi_xc, _ = _xc_jacs(Xc, R)
-    J_xi = -(Jp @ Jxi_xc)
-    J_X = -(Jp @ R)
+    J_xi = -_mm_small(Jp, Jxi_xc)
+    J_X = -_mm_small(Jp, R)
     return e, J_xi, J_X, z > 1e-6
 
 
 def bird_point(R, t, Xw, obs_pc):
     """BEV 3D point-to-point edge (`EdgeSE3ProjectXYZ2XYZQuat`,
     `OdomG2oType.cc:137-157`): e = pc_obs − (R Xw + t), camera frame."""
-    Xc = jnp.einsum("...ij,...j->...i", R, Xw) + t
+    Xc = _rot(R, Xw) + t
     e = obs_pc - Xc
     Jxi_xc, _ = _xc_jacs(Xc, R)
     J_xi = -Jxi_xc
@@ -110,7 +124,7 @@ def bird_point(R, t, Xw, obs_pc):
 def point_transform(R12, t12, pc2, pc1_obs):
     """Frame-to-frame point transfer (`EdgePointTransformSE3Quat`,
     `OdomG2oType.cc:61-86`): e = pc1_obs − T12 · pc2, Jacobian wrt T12."""
-    p1 = pc2 @ R12.T + t12
+    p1 = _rot(R12, pc2) + t12
     e = pc1_obs - p1
     Jxi_xc, _ = _xc_jacs(p1, R12)
     return e, -Jxi_xc

@@ -27,6 +27,7 @@ def _project(p, fx, fy, cx, cy):
 
 @functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy",
                                              "fix_scale", "iters"))
+@linalg.f32_matmul
 def optimize_sim3_two_frame(
     R, t, s,              # initial S12 (cam2 -> cam1)
     p1_cam, p2_cam,       # (N,3) matched points in each camera frame

@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core import lie
-from ..graph.ba import _edge_terms, _inv3x3, EdgeSet
+from ..core import lie, linalg
+from ..graph.ba import _damp, _edge_terms, _gram, _gramv, _inv3x3, EdgeSet
 
 AXIS = "map"
 
@@ -53,47 +53,45 @@ def _local_lm_step(cam_R, cam_t, cam_fixed, points, pt_valid, edges, intr,
     dtype = cam_R.dtype
     e, Jc, Jp, w, cost, _, _ = _edge_terms("mono", cam_R, cam_t, points,
                                            edges, intr, True)
-    Hcc = jnp.zeros((C, 6, 6), dtype).at[edges.cam].add(
-        jnp.einsum("nij,n,nik->njk", Jc, w, Jc))
-    bc = jnp.zeros((C, 6), dtype).at[edges.cam].add(
-        jnp.einsum("nij,n,ni->nj", Jc, w, e))
-    Hpp = jnp.zeros((Pn, 3, 3), dtype).at[edges.pt].add(
-        jnp.einsum("nij,n,nik->njk", Jp, w, Jp))
-    bp = jnp.zeros((Pn, 3), dtype).at[edges.pt].add(
-        jnp.einsum("nij,n,ni->nj", Jp, w, e))
+    Hcc = jnp.zeros((C, 6, 6), dtype).at[edges.cam].add(_gram(Jc, w, Jc))
+    bc = jnp.zeros((C, 6), dtype).at[edges.cam].add(_gramv(Jc, w, e))
+    Hpp = jnp.zeros((Pn, 3, 3), dtype).at[edges.pt].add(_gram(Jp, w, Jp))
+    bp = jnp.zeros((Pn, 3), dtype).at[edges.pt].add(_gramv(Jp, w, e))
     W = jnp.zeros((C, 6, Pn, 3), dtype).at[edges.cam, :, edges.pt, :].add(
-        jnp.einsum("nij,n,nik->njk", Jc, w, Jp))
+        _gram(Jc, w, Jp))
 
     eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (Pn, 3, 3))
-    dHpp = jnp.where(pt_valid[:, None, None], Hpp + lam * jnp.eye(3, dtype=dtype)[None], eye3)
+    dHpp = jnp.where(pt_valid[:, None, None], _damp(Hpp, lam), eye3)
     bp = jnp.where(pt_valid[:, None], bp, 0.0)
     W = W * pt_valid[None, None, :, None].astype(dtype)
     Hpp_inv = _inv3x3(dHpp)
     W3 = W.reshape(C * 6, Pn, 3)
-    Y = jnp.einsum("apk,pkl->apl", W3, Hpp_inv)
-    S_local = -jnp.einsum("apk,bpk->ab", Y, W3)
+    Y = jnp.sum(W3[:, :, :, None] * Hpp_inv[None], axis=2)
+    S_local = -jax.lax.dot_general(
+        Y.reshape(C * 6, Pn * 3), W3.reshape(C * 6, Pn * 3),
+        (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGHEST)
     idx = jnp.arange(C)
+    # Marquardt damping on the shard-local Hcc: diag is additive across
+    # shards, so Σ_shards λ·diag(Hcc_local) = λ·diag(Hcc_global) exactly —
+    # no double-count correction needed (the λ·floor term for cameras
+    # with no local edges sums to a negligible n_dev·λ·1e-6)
     S_local = (S_local.reshape(C, 6, C, 6).at[idx, :, idx, :]
-               .add(Hcc + lam * jnp.eye(6, dtype=dtype)[None])
+               .add(_damp(Hcc, lam))
                .reshape(C * 6, C * 6))
-    rhs_local = bc.reshape(-1) - jnp.einsum("apk,pk->a", Y, bp)
+    rhs_local = bc.reshape(-1) - jnp.sum(Y * bp[None], axis=(1, 2))
 
     # ICI reduction: every device gets the full camera system
     S = jax.lax.psum(S_local, axis)
     rhs = jax.lax.psum(rhs_local, axis)
     cost_tot = jax.lax.psum(cost, axis)
-    # correct double-counted diagonal damping (each device added lam*I on
-    # its Hcc diag): subtract (n_dev−1) copies
-    n_dev = jax.lax.psum(jnp.ones((), dtype), axis)
-    S = S - (n_dev - 1.0) * lam * jnp.eye(C * 6, dtype=dtype)
 
     free6 = jnp.repeat(~cam_fixed, 6)
     S = jnp.where(free6[:, None] & free6[None, :], S, 0.0)
     S = S + jnp.diag(jnp.where(free6, 0.0, 1.0))
     rhs = jnp.where(free6, rhs, 0.0)
     dxc = -jnp.linalg.solve(S, rhs)
-    tmp = bp + jnp.einsum("apk,a->pk", W3, dxc)
-    dxp = -jnp.einsum("pij,pj->pi", Hpp_inv, tmp)
+    tmp = bp + jnp.sum(W3 * dxc[:, None, None], axis=0)
+    dxp = -jnp.sum(Hpp_inv * tmp[:, None, :], axis=-1)
     dxp = jnp.where(pt_valid[:, None], dxp, 0.0)
     return dxc.reshape(C, 6), dxp, cost_tot
 
@@ -116,7 +114,12 @@ def sharded_bundle_adjust(mesh: Mesh, prob: ShardedBAProblem,
             pn = points + dxp
             _, _, cost1 = _local_lm_step(
                 Rn, tn, cam_fixed, pn, pt_valid, edges, intr, lam, axis)
-            ok = (cost1 < cost0) & jnp.isfinite(cost1)
+            # step-finiteness gate; dxp is shard-local, so reduce the
+            # verdict over the mesh axis to keep `ok` shard-consistent
+            bad_p = jax.lax.psum(
+                jnp.sum(~jnp.isfinite(dxp), dtype=jnp.int32), axis)
+            ok = ((cost1 < cost0) & jnp.isfinite(cost1)
+                  & jnp.all(jnp.isfinite(dxc)) & (bad_p == 0))
             cam_R = jnp.where(ok, Rn, cam_R)
             cam_t = jnp.where(ok, tn, cam_t)
             points = jnp.where(ok, pn, points)
@@ -139,7 +142,154 @@ def sharded_bundle_adjust(mesh: Mesh, prob: ShardedBAProblem,
         out_specs=(rep, rep, sh, rep),
         check_vma=False,
     )
-    return jax.jit(f)(prob.cam_R, prob.cam_t, prob.cam_fixed,
+    return jax.jit(linalg.f32_matmul(f))(prob.cam_R, prob.cam_t, prob.cam_fixed,
+                      prob.points, prob.pt_valid, prob.edges)
+
+
+def _local_implicit_step(cam_R, cam_t, cam_fixed, points, pt_valid, edges,
+                         intr, lam, axis, cg_iters):
+    """One damped-GN step, matrix-free Schur + PCG, map-sharded.
+
+    Points/edges are shard-local (edges.pt index the local point slice);
+    cameras are replicated. Each CG matvec costs ONE psum of a (C,6)
+    vector over ICI — the only cross-device traffic. Combines
+    `ba_large._implicit_schur_step` (O(E) memory) with the map-block
+    partitioning above: per-device memory is O(E/n_dev), so pod-scale maps
+    fit where even the single-chip implicit path would not.
+    """
+    from ..graph import ba_large
+
+    C = cam_R.shape[0]
+    Pn = points.shape[0]
+    dtype = cam_R.dtype
+    cams, ptsi, U, Acc, App, bc_e, bp_e, cost_loc = ba_large._edge_blocks(
+        cam_R, cam_t, points, [("mono", edges)], intr, True)
+    eye6 = jnp.eye(6, dtype=dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    # camera system: reduced over shards; damping added AFTER the psum
+    Hcc = _damp(jax.lax.psum(
+        jnp.zeros((C, 6, 6), dtype).at[cams].add(Acc), axis), lam)
+    bc = jax.lax.psum(jnp.zeros((C, 6), dtype).at[cams].add(bc_e), axis)
+    # point system: purely shard-local
+    Hpp = _damp(jnp.zeros((Pn, 3, 3), dtype).at[ptsi].add(App), lam)
+    bp = jnp.zeros((Pn, 3), dtype).at[ptsi].add(bp_e)
+    Hpp = jnp.where(pt_valid[:, None, None], Hpp,
+                    jnp.broadcast_to(eye3, (Pn, 3, 3)))
+    bp = jnp.where(pt_valid[:, None], bp, 0.0)
+    U = U * pt_valid[ptsi][:, None, None].astype(dtype)
+    G = _inv3x3(Hpp)
+
+    def W_apply(y):  # local (Pn,3) -> replicated (C,6)
+        ue = jnp.sum(U * y[ptsi][:, None, :], -1)
+        return jax.lax.psum(jnp.zeros((C, 6), dtype).at[cams].add(ue), axis)
+
+    def WT_apply(x):  # replicated (C,6) -> local (Pn,3)
+        ve = jnp.sum(U * x[cams][:, :, None], 1)
+        return jnp.zeros((Pn, 3), dtype).at[ptsi].add(ve)
+
+    cam_free = ~cam_fixed
+    proj = lambda x: jnp.where(cam_free[:, None], x, 0.0)
+
+    def S_apply(x):
+        x = proj(x)
+        y = jnp.sum(G * WT_apply(x)[:, None, :], -1)
+        return proj(jnp.sum(Hcc * x[:, None, :], -1) - W_apply(y))
+
+    G_e = G[ptsi]
+    T_e = jnp.sum(U[:, :, :, None] * G_e[:, None, :, :], 2)
+    D_e = jnp.sum(T_e[:, :, None, :] * U[:, None, :, :], -1)
+    M = Hcc - jax.lax.psum(
+        jnp.zeros((C, 6, 6), dtype).at[cams].add(D_e), axis)
+    M = jnp.where(cam_free[:, None, None], M,
+                  jnp.broadcast_to(eye6, (C, 6, 6)))
+    Minv = ba_large._inv6x6(M)
+    prec = lambda r: jnp.sum(Minv * r[:, None, :], -1)
+
+    rhs = proj(bc - W_apply(jnp.sum(G * bp[:, None, :], -1)))
+    x0 = jnp.zeros((C, 6), dtype)
+    z0 = prec(rhs)
+    rz0 = jnp.sum(rhs * z0)
+    eps = jnp.asarray(1e-20, dtype)
+    tol2 = 1e-12 * jnp.sum(rhs * rhs)
+
+    def cg_body(carry, _):
+        x, r, p, rz = carry
+        live = (jnp.sum(r * r) > tol2) & (rz > eps)
+        Ap = S_apply(p)  # one psum over ICI
+        pAp = jnp.sum(p * Ap)
+        alpha = jnp.where(live & (pAp > eps), rz / jnp.maximum(pAp, eps), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = prec(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(live, rz_new / jnp.maximum(rz, eps), 0.0)
+        p = jnp.where(live, z + beta * p, p)
+        return (x, r, p, jnp.where(live, rz_new, rz)), None
+
+    (xs, _, _, _), _ = jax.lax.scan(cg_body, (x0, rhs, z0, rz0), None,
+                                    length=cg_iters)
+    dxc = -xs
+    dxp = -jnp.sum(G * (bp + WT_apply(dxc))[:, None, :], -1)
+    dxp = jnp.where(pt_valid[:, None], dxp, 0.0)
+    return dxc, dxp, jax.lax.psum(cost_loc, axis)
+
+
+def _local_cost(cam_R, cam_t, points, edges, intr, axis):
+    from ..graph.ba import _cost_only
+
+    return jax.lax.psum(
+        _cost_only(cam_R, cam_t, points, [("mono", edges)], intr, True), axis)
+
+
+def sharded_bundle_adjust_large(mesh: Mesh, prob: ShardedBAProblem,
+                                fx, fy, cx, cy, n_iters: int = 10,
+                                cg_iters: int = 48):
+    """Matrix-free LM BA with landmarks+edges sharded over `mesh`.
+
+    Same partitioning contract as `sharded_bundle_adjust`, but the reduced
+    camera system is solved by PCG instead of a dense factorization —
+    per-device memory O(E/n_dev), cross-device traffic one (C,6) psum per
+    CG iteration. Returns (cam_R, cam_t, points, final_cost)."""
+    intr = (fx, fy, cx, cy, 0.0)
+    axis = mesh.axis_names[0]
+
+    def step_all(cam_R, cam_t, cam_fixed, points, pt_valid, edges):
+        def body(carry, _):
+            cam_R, cam_t, points, lam = carry
+            dxc, dxp, cost0 = _local_implicit_step(
+                cam_R, cam_t, cam_fixed, points, pt_valid, edges, intr,
+                lam, axis, cg_iters)
+            Rn, tn = lie.se3_update_left(cam_R, cam_t, dxc)
+            pn = points + dxp
+            cost1 = _local_cost(Rn, tn, pn, edges, intr, axis)
+            # step-finiteness gate; dxp is shard-local, so reduce the
+            # verdict over the mesh axis to keep `ok` shard-consistent
+            bad_p = jax.lax.psum(
+                jnp.sum(~jnp.isfinite(dxp), dtype=jnp.int32), axis)
+            ok = ((cost1 < cost0) & jnp.isfinite(cost1)
+                  & jnp.all(jnp.isfinite(dxc)) & (bad_p == 0))
+            cam_R = jnp.where(ok, Rn, cam_R)
+            cam_t = jnp.where(ok, tn, cam_t)
+            points = jnp.where(ok, pn, points)
+            lam = jnp.clip(jnp.where(ok, lam * 0.5, lam * 4.0), 1e-9, 1e8)
+            return (cam_R, cam_t, points, lam), jnp.where(ok, cost1, cost0)
+
+        (cam_R, cam_t, points, _), costs = jax.lax.scan(
+            body, (cam_R, cam_t, points, jnp.asarray(1e-4, cam_R.dtype)),
+            None, length=n_iters)
+        return cam_R, cam_t, points, costs[-1]
+
+    from jax import shard_map
+
+    rep = P()
+    sh = P(axis)
+    f = shard_map(
+        step_all, mesh=mesh,
+        in_specs=(rep, rep, rep, sh, sh, EdgeSet(sh, sh, sh, sh, sh)),
+        out_specs=(rep, rep, sh, rep),
+        check_vma=False,
+    )
+    return jax.jit(linalg.f32_matmul(f))(prob.cam_R, prob.cam_t, prob.cam_fixed,
                       prob.points, prob.pt_valid, prob.edges)
 
 

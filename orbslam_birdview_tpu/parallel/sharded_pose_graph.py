@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from ..core import linalg
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..graph import residuals
@@ -114,7 +116,7 @@ def sharded_optimize_sim3_graph(
         out_specs=(rep, rep, rep, rep),
         check_vma=False,
     )
-    return jax.jit(f)(R, t, s, fixed, e_i, e_j, mR, mt, ms, e_w, e_valid)
+    return jax.jit(linalg.f32_matmul(f))(R, t, s, fixed, e_i, e_j, mR, mt, ms, e_w, e_valid)
 
 
 def shard_edges(mesh: Mesh, e_i, e_j, mR, mt, ms, e_w, e_valid):

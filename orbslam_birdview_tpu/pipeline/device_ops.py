@@ -12,12 +12,13 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..core import lie
+from ..core import lie, linalg
 from ..frontend import matcher
 from ..frontend.keypoints import unpack_bits_to_pm1
 
 
 @jax.jit
+@linalg.f32_matmul
 def project_points(R, t, pos, fx, fy, cx, cy, width, height):
     """World points -> (uv, depth, in_front_and_in_image)."""
     Xc = pos @ R.T + t
@@ -31,6 +32,7 @@ def project_points(R, t, pos, fx, fy, cx, cy, width, height):
 
 
 @jax.jit
+@linalg.f32_matmul
 def frustum_gate(R, t, pos, normal, min_dist, max_dist, valid,
                  fx, fy, cx, cy, width, height, n_levels, log_scale):
     """Full `Frame::isInFrustum` (src/Frame.cc:436-492): image bounds, scale
@@ -88,6 +90,7 @@ def match_frames_window_rot(xy_a, ang_a, desc_a_pm1, valid_a,
 
 
 @jax.jit
+@linalg.f32_matmul
 def epipolar_triangulate(
     R1, t1, R2, t2, K,
     kp1_xy, kp1_octave, kp1_free, desc1_pm1,
@@ -167,5 +170,6 @@ def epipolar_triangulate(
 
 
 @jax.jit
+@linalg.f32_matmul
 def transform_points(R, t, pts):
     return pts @ R.T + t

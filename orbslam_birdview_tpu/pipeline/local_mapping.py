@@ -22,7 +22,7 @@ import numpy as np
 
 from ..api.config import SlamConfig
 from ..frontend.keypoints import unpack_bits_to_pm1
-from ..graph import ba
+from ..graph import ba, ba_large
 from ..mapping.mapstore import INVALID, MapStore
 from . import device_ops
 
@@ -427,7 +427,14 @@ class LocalMapper:
         for i, k in enumerate(all_kfs):
             if int(k) == 0:
                 fixed_np[i] = True
-        res = ba.bundle_adjust(
+        # solver selection: the dense-W Schur path materializes a
+        # (C,6,P,3) coupling tensor — one MXU matmul, optimal for small
+        # maps; past ~128 MB switch to the matrix-free implicit-Schur PCG
+        # path (O(E) memory) so full-map GBA scales to KITTI-sized maps
+        dense_w_bytes = C * 6 * point_cap * 3 * 4
+        solver = (ba.bundle_adjust if dense_w_bytes <= (128 << 20)
+                  else ba_large.bundle_adjust_large)
+        res = solver(
             cam_R, cam_t, jnp.asarray(fixed_np), cam_valid, points, pvalid,
             mono_es, stereo_es, bird_es,
             cam.fx, cam.fy, cam.cx, cam.cy, bf=cam.bf,

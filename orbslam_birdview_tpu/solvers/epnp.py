@@ -18,6 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..core import linalg
+
 
 def _control_points(Xw):
     """PCA control points: centroid + principal axes scaled by std."""
@@ -135,6 +137,7 @@ def _procrustes(pw, pc):
     return R, t
 
 
+@linalg.f32_matmul
 def epnp(Xw, xy_norm, valid=None):
     """Single-shot EPnP on k>=4 correspondences.
 

@@ -17,12 +17,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..core import linalg
+
 from . import ransac
 
 CHI2_2D = 5.991
 CHI2_3D = 7.815
 
 
+@linalg.f32_matmul
 def kabsch(p1, p2, w=None):
     """Weighted LSQ rigid transform (R, t) with p1 ≈ R p2 + t.
     p1,p2 (N,D); w (N,) weights. D in {2,3}."""
@@ -74,12 +77,14 @@ def _icp_ransac(key, p1, p2, valid, sigma, chi2_th, min_set, n_hyp, min_inliers)
     return IcpResult(ok, R, t, inliers, n)
 
 
+@linalg.f32_matmul
 def icp2d_ransac(key, p1, p2, valid, sigma: float, n_hyp: int = 256,
                  min_inliers: int = 10):
     """2D ground-plane registration (`IcpSolver::FindRtICP2D`)."""
     return _icp_ransac(key, p1, p2, valid, sigma, CHI2_2D, 2, n_hyp, min_inliers)
 
 
+@linalg.f32_matmul
 def icp3d_ransac(key, p1, p2, valid, sigma: float, n_hyp: int = 256,
                  min_inliers: int = 10):
     """3D registration (`IcpSolver::FindRtICP`)."""

@@ -19,7 +19,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..core import lie
+from ..core import lie, linalg
 from . import icp, twoview
 
 
@@ -34,6 +34,7 @@ class InitResult(NamedTuple):
     icp_ok: jnp.ndarray
 
 
+@linalg.f32_matmul
 def initialize_two_view(
     key,
     xy1,

@@ -19,6 +19,7 @@ from ..core import lie, linalg
 from . import ransac
 
 
+@linalg.f32_matmul
 def pnp_dlt(Xw, xy_norm):
     """Direct linear transform pose from k>=6 3D-2D pairs.
 
@@ -54,6 +55,7 @@ def pnp_dlt(Xw, xy_norm):
     return R, t
 
 
+@linalg.f32_matmul
 def gn_refine_pose(R, t, Xw, xy_norm, w, iters: int = 10):
     """Gauss-Newton on SE3 (left-multiplicative update) minimizing normalized
     reprojection error with per-point weights w."""
@@ -95,6 +97,7 @@ class PnPResult(NamedTuple):
     n_inliers: jnp.ndarray
 
 
+@linalg.f32_matmul
 def pnp_ransac(
     key,
     Xw,

@@ -13,12 +13,13 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..core import lie
+from ..core import lie, linalg
 from . import ransac
 
 CHI2_SIM3 = 9.210  # 99% 2-DoF, as in Sim3Solver::SetRansacParameters
 
 
+@linalg.f32_matmul
 def horn_sim3(p1, p2, w=None, fix_scale: bool = False):
     """Closed-form Sim3: returns (R, t, s) with p1 ≈ s R p2 + t."""
     if w is None:
@@ -67,6 +68,7 @@ class Sim3Result(NamedTuple):
     n_inliers: jnp.ndarray
 
 
+@linalg.f32_matmul
 def sim3_ransac(
     key,
     p1_cam,

@@ -15,6 +15,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..core import linalg
+
 from . import ransac
 
 CHI2_H = 5.991
@@ -66,6 +68,7 @@ def _eightpoint_fundamental(x1, x2):
     return uF @ jnp.diag(sF) @ vFh
 
 
+@linalg.f32_matmul
 def score_homography(H21, xy1, xy2, valid, sigma: float):
     """Symmetric transfer error scoring (`Initializer.cc:333-416`).
     Returns (score, inliers)."""
@@ -89,6 +92,7 @@ def score_homography(H21, xy1, xy2, valid, sigma: float):
     return score, ok
 
 
+@linalg.f32_matmul
 def score_fundamental(F21, xy1, xy2, valid, sigma: float):
     """Epipolar point-line distance scoring (`Initializer.cc:418-511`)."""
     inv_s2 = 1.0 / (sigma * sigma)
@@ -119,6 +123,7 @@ class TwoViewFit(NamedTuple):
     inliers: jnp.ndarray  # (N,) bool
 
 
+@linalg.f32_matmul
 def fit_homography_ransac(key, xy1, xy2, valid, sigma: float, n_hyp: int = 256):
     xy1n, T1 = normalize_points(xy1, valid)
     xy2n, T2 = normalize_points(xy2, valid)
@@ -131,6 +136,7 @@ def fit_homography_ransac(key, xy1, xy2, valid, sigma: float, n_hyp: int = 256):
     return TwoViewFit(H[best], s, inl[best])
 
 
+@linalg.f32_matmul
 def fit_fundamental_ransac(key, xy1, xy2, valid, sigma: float, n_hyp: int = 256):
     xy1n, T1 = normalize_points(xy1, valid)
     xy2n, T2 = normalize_points(xy2, valid)
@@ -146,6 +152,7 @@ def fit_fundamental_ransac(key, xy1, xy2, valid, sigma: float, n_hyp: int = 256)
 # Triangulation + cheirality
 # ---------------------------------------------------------------------------
 
+@linalg.f32_matmul
 def triangulate_dlt(P1, P2, xy1, xy2):
     """Batched linear triangulation (`Initializer.cc:932-945`).
     P1,P2 (3,4); xy1,xy2 (N,2) -> (N,3)."""
@@ -161,6 +168,7 @@ def triangulate_dlt(P1, P2, xy1, xy2):
     return X[..., :3] / w[..., None]
 
 
+@linalg.f32_matmul
 def check_rt(R, t, xy1, xy2, valid, K, sigma: float):
     """Count points passing cheirality/parallax/reprojection gates for a
     candidate (R,t) (`Initializer.cc:996-1105`).
@@ -290,6 +298,7 @@ def motion_hypotheses_from_H(H21, K):
     return jnp.stack(Rs), jnp.stack(ts)
 
 
+@linalg.f32_matmul
 def select_motion(Rs, ts, xy1, xy2, inliers, K, sigma: float,
                   min_parallax: float = 1.0, min_triangulated: int = 50):
     """Score all motion hypotheses with check_rt; pick a clear winner

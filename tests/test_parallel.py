@@ -104,6 +104,29 @@ def test_sharded_matches_single_device(rng):
     np.testing.assert_allclose(float(c8), float(c1), rtol=1e-2)
 
 
+def test_sharded_implicit_matches_dense_sharded(rng):
+    """Matrix-free sharded BA (implicit Schur + PCG, one (C,6) psum per CG
+    matvec) reaches the same optimum as the dense-S sharded path."""
+    mesh = sharded_ba.make_mesh()
+    cam_R, cam_t, X_gt, edges = build_problem(rng, len(jax.devices()),
+                                              pts_per_dev=32)
+    C = cam_R.shape[0]
+    pert = jnp.asarray(rng.normal(0, 0.01, (C, 6)).astype(np.float32))
+    pert = pert.at[:2].set(0.0)
+    Rp, tp = jax.vmap(lie.se3_update_left)(cam_R, cam_t, pert)
+    fixed = jnp.zeros(C, bool).at[0].set(True).at[1].set(True)
+    prob = sharded_ba.shard_problem(
+        mesh, Rp, tp, fixed, X_gt, jnp.ones(X_gt.shape[0], bool), edges)
+    Rd, td, Xd, cd = sharded_ba.sharded_bundle_adjust(
+        mesh, prob, FX, FY, CX, CY, n_iters=8)
+    Ri, ti, Xi, ci = sharded_ba.sharded_bundle_adjust_large(
+        mesh, prob, FX, FY, CX, CY, n_iters=8)
+    np.testing.assert_allclose(np.asarray(ti), np.asarray(td), atol=2e-3)
+    perr = np.linalg.norm(np.asarray(Xi) - np.asarray(Xd), axis=1)
+    assert np.median(perr) < 2e-3
+    assert float(ci) < 1.05 * float(cd) + 1e-3
+
+
 def test_sharded_pose_graph_matches_single_device(rng):
     """Sharded Sim3 essential graph == single-device optimizer on the same
     drifted-loop problem (up to float reduction order)."""
