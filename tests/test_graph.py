@@ -346,3 +346,68 @@ def test_ba_cost_penalizes_behind_camera():
         "mono", flip, zero_t, jnp.asarray(X), es, intr, True)
     assert float(cost_good) < 1e-3
     assert float(cost_flip) > 100.0, "behind-camera state must be penalized"
+
+
+def test_inv3x3_ill_conditioned_one_observation_block(rng):
+    """Regression: a landmark with ONE mono observation has a rank-2 JᵀJ at
+    scale (f/z)² ~ 2.5e3; its damped det sits below the f32 cancellation
+    noise of a raw cofactor expansion, which used to produce garbage/NaN
+    inverses (and NaN'd TPU global BA). The Jacobi-equilibrated inverse
+    must stay accurate at the damped conditioning (~1e4)."""
+    for _ in range(50):
+        J = rng.normal(0, 50.0, (2, 3)).astype(np.float32)
+        A = (J.T @ J).astype(np.float32)
+        Ad = np.asarray(ba._damp(jnp.asarray(A)[None], 1e-4)[0])
+        inv = np.asarray(ba._inv3x3(jnp.asarray(Ad)[None])[0])
+        assert np.all(np.isfinite(inv))
+        # f32 closed-form inverse at the Marquardt-damped conditioning
+        # (~1e4): expect ~cond·eps·O(10) ≈ few % worst-entry error — plenty
+        # for a damped LM step direction (the old raw-cofactor path gave
+        # 100%+ error / NaN here)
+        resid = Ad.astype(np.float64) @ inv.astype(np.float64) - np.eye(3)
+        assert np.max(np.abs(resid)) < 0.1
+    # exactly singular input (zero row/col) must still yield a finite result
+    A0 = np.zeros((3, 3), np.float32)
+    A0[0, 0] = 1.0
+    assert np.all(np.isfinite(np.asarray(ba._inv3x3(jnp.asarray(A0)[None]))))
+
+
+def test_marquardt_damp():
+    """_damp adds λ·diag(max(diag H, floor)) — scale-free damping."""
+    H = jnp.asarray(np.diag([100.0, 4.0, 1e-9]).astype(np.float32))[None]
+    D = np.asarray(ba._damp(H, 0.5, floor=1e-6)[0])
+    assert np.isclose(D[0, 0], 150.0)
+    assert np.isclose(D[1, 1], 6.0)
+    assert np.isclose(D[2, 2], 1e-9 + 0.5 * 1e-6)
+    assert np.allclose(D - np.diag(np.diag(D)), 0.0)
+
+
+def test_bundle_adjust_single_observation_landmarks(rng):
+    """BA must stay finite and converge with many one-observation landmarks
+    (the ill-conditioned Hpp blocks that used to NaN the Schur solve)."""
+    cam_R, cam_t, X_gt, e_cam, e_pt, e_obs, E = synth_ba_problem(rng)
+    C, P = cam_R.shape[0], X_gt.shape[0]
+    # keep only ONE edge per even-indexed landmark
+    pt_np = np.asarray(e_pt)
+    valid = np.ones(E, bool)
+    seen = set()
+    for i in range(E):
+        p = int(pt_np[i])
+        if p % 2 == 0:
+            if p in seen:
+                valid[i] = False
+            seen.add(p)
+    mono = ba.EdgeSet(e_cam, e_pt, e_obs, jnp.ones(E), jnp.asarray(valid))
+    pert = jnp.asarray(rng.normal(0, 0.02, (C, 6)).astype(np.float32))
+    pert = pert.at[:2].set(0.0)
+    Rp, tp = jax.vmap(lie.se3_update_left)(cam_R, cam_t, pert)
+    Xp = X_gt + jnp.asarray(rng.normal(0, 0.05, (P, 3)).astype(np.float32))
+    fixed = jnp.zeros(C, bool).at[0].set(True).at[1].set(True)
+    res = ba.bundle_adjust(
+        Rp, tp, fixed, jnp.ones(C, bool), Xp, jnp.ones(P, bool),
+        mono, None, None, FX, FY, CX, CY,
+    )
+    assert np.all(np.isfinite(np.asarray(res.cam_t)))
+    assert np.all(np.isfinite(np.asarray(res.points)))
+    n_valid = int(np.sum(valid))
+    assert int(jnp.sum(res.inl_mono)) > 0.9 * n_valid
