@@ -251,10 +251,14 @@ def _schur_solve(Hcc, bc, Hpp, bp, W, lam, cam_free, pt_free, C, P):
     # block-diagonal Hcc
     idx = jnp.arange(C)
     S = S.reshape(C, 6, C, 6).at[idx, :, idx, :].add(dHcc).reshape(C * 6, C * 6)
-    # true matmul (contract 3P): keep on the MXU, f32 accumulation
+    # true matmul (contract P and 3 as a multi-dim dot_general): keep on
+    # the MXU, f32 accumulation. Do NOT reshape to (C6, P*3) first — the
+    # minor dim 3 is lane-padded 3->128 on TPU, and the reshape forces a
+    # full physical relayout of both operands (measured 2.16 -> 1.65
+    # ms/iter at C=16,P=4096 from dropping it; tools/time_schur_layout.py)
     S = S - jax.lax.dot_general(
-        Y.reshape(C * 6, P * 3), W3.reshape(C * 6, P * 3),
-        (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGHEST)
+        Y, W3, (((1, 2), (1, 2)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
     rhs = bc.reshape(-1) - jnp.sum(Y * bp[None], axis=(1, 2))
     # freeze fixed cameras
     free6 = jnp.repeat(cam_free, 6)

@@ -67,9 +67,12 @@ def _local_lm_step(cam_R, cam_t, cam_fixed, points, pt_valid, edges, intr,
     Hpp_inv = _inv3x3(dHpp)
     W3 = W.reshape(C * 6, Pn, 3)
     Y = jnp.sum(W3[:, :, :, None] * Hpp_inv[None], axis=2)
+    # multi-dim contraction over (Pn,3) directly — reshaping to (C6,Pn*3)
+    # forces a physical relayout of the lane-padded minor-3 operands
+    # (see graph/ba.py _schur_solve; tools/time_schur_layout.py)
     S_local = -jax.lax.dot_general(
-        Y.reshape(C * 6, Pn * 3), W3.reshape(C * 6, Pn * 3),
-        (((1,), (1,)), ((), ())), precision=jax.lax.Precision.HIGHEST)
+        Y, W3, (((1, 2), (1, 2)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
     idx = jnp.arange(C)
     # Marquardt damping on the shard-local Hcc: diag is additive across
     # shards, so Σ_shards λ·diag(Hcc_local) = λ·diag(Hcc_global) exactly —
