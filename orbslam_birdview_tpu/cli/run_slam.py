@@ -33,6 +33,9 @@ def main(argv=None):
                     help="vocabulary: DBoW2 text (ORBvoc.txt), DBoW2 "
                          "binary (.bin), or an .npz saved by "
                          "Vocabulary.save")
+    ap.add_argument("--realtime", action="store_true",
+                    help="pace frames by dataset timestamp deltas "
+                         "(`mono_fisheye.cc:138-146`)")
     ap.add_argument("--timing", action="store_true",
                     help="print the per-stage timing summary at exit")
     ap.add_argument("--profile-trace", default=None, metavar="DIR",
@@ -94,9 +97,16 @@ def main(argv=None):
                  if args.profile_trace else contextlib.nullcontext())
     times = []
     n = 0
+    prev_ts = None
     with trace_ctx:
         for rec in loader:
             t0 = time.perf_counter()
+            if args.realtime and prev_ts is not None and times:
+                # sleep out the residual of the inter-frame timestamp gap
+                gap = rec.timestamp - prev_ts
+                if 0 < gap - times[-1] < 2.0:
+                    time.sleep(gap - times[-1])
+            prev_ts = rec.timestamp
             if rec.depth is not None:
                 sys_.track_rgbd(rec.img, rec.depth, rec.timestamp)
             elif rec.right is not None:
@@ -123,6 +133,11 @@ def main(argv=None):
         sys_.save_trajectory_tum(args.out)
     if args.out_kf:
         sys_.save_keyframe_trajectory_tum(args.out_kf)
+        if sensor == "mono_bird":
+            # the birdview driver also saves the base/odom-frame trajectory
+            # (`mono_fisheye.cc:163-166`, System::SaveKeyFrameTrajectoryOdomTUM)
+            sys_.save_keyframe_trajectory_odom_tum(
+                args.out_kf.replace(".txt", "") + "_odom.txt")
     print(f"saved trajectory to {args.out}")
     if args.timing:
         print(profiling.GLOBAL_TIMER.summary())
