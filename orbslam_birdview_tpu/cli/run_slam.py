@@ -100,13 +100,16 @@ def main(argv=None):
     prev_ts = None
     with trace_ctx:
         for rec in loader:
-            t0 = time.perf_counter()
             if args.realtime and prev_ts is not None and times:
                 # sleep out the residual of the inter-frame timestamp gap
+                # (`mono_fisheye.cc:138-146` sleeps T - ttrack); the sleep
+                # happens BEFORE t0 so times[] holds pure tracking time
                 gap = rec.timestamp - prev_ts
-                if 0 < gap - times[-1] < 2.0:
-                    time.sleep(gap - times[-1])
+                residual = gap - times[-1]
+                if residual > 0:
+                    time.sleep(min(residual, 2.0))
             prev_ts = rec.timestamp
+            t0 = time.perf_counter()
             if rec.depth is not None:
                 sys_.track_rgbd(rec.img, rec.depth, rec.timestamp)
             elif rec.right is not None:
@@ -136,8 +139,10 @@ def main(argv=None):
         if sensor == "mono_bird":
             # the birdview driver also saves the base/odom-frame trajectory
             # (`mono_fisheye.cc:163-166`, System::SaveKeyFrameTrajectoryOdomTUM)
+            import os.path
+
             sys_.save_keyframe_trajectory_odom_tum(
-                args.out_kf.replace(".txt", "") + "_odom.txt")
+                os.path.splitext(args.out_kf)[0] + "_odom.txt")
     print(f"saved trajectory to {args.out}")
     if args.timing:
         print(profiling.GLOBAL_TIMER.summary())

@@ -67,6 +67,9 @@ def build_global_problem(rng, P_total, n_cams, obs_per_pt):
 
 def regroup_local(edges, P_total, n_dev):
     """Sort edges by owning shard and rewrite pt indices to be local."""
+    assert P_total % n_dev == 0, (
+        f"--points ({P_total}) must be divisible by the device count "
+        f"({n_dev}); tail points would be silently dropped otherwise")
     per = P_total // n_dev
     shard = np.asarray(edges.pt) // per
     order = np.argsort(shard, kind="stable")
