@@ -40,6 +40,10 @@ class TrackingConfig:
     ref_ratio: float = 0.9
     # local map window
     local_map_max_kfs: int = 80
+    # fused one-dispatch tracking (pipeline/fused_track.py): device-side
+    # motion-model + local-map tracking with a single readback per frame
+    fused_tracking: bool = True
+    fused_point_cap: int = 6144
     # birdview
     bird_info_scale_pose: float = 1.0
     bird_info_scale_ba: float = 1.0

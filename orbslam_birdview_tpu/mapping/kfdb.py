@@ -1,16 +1,21 @@
 """Keyframe database: BoW-based place recognition queries.
 
-Re-designs `/root/reference/src/KeyFrameDatabase.cc`: the reference keeps a
-word→keyframe inverted file and walks candidate lists serially; here every
-keyframe's L1-normalized BoW vector is a row of a dense (max_kf, n_words)
-matrix, so shared-word counting and L1 scoring over ALL keyframes are single
-matvecs (the vocabulary is small enough that dense beats the inverted file
-on TPU-style hardware; the inverted file IS the sparsity pattern of this
-matrix).
+Re-designs `/root/reference/src/KeyFrameDatabase.cc` as a sparse inverted
+file over the vocabulary — the same structure the reference uses
+(`include/KeyFrameDatabase.h:66`), vectorized with numpy posting-list
+accumulation instead of serial candidate walks.
+
+Round 1 used a dense (max_kf, n_words) score matrix; at the reference's
+~1M-word pretrained vocabulary (`src/System.cc:70-83`) that is ~5 GB for 1k
+keyframes — unusable. Here memory is O(total observed words) ≈ n_kf ×
+n_features × 12 bytes (~25 MB at 1k KFs), independent of vocabulary size,
+and a query touches only the posting lists of its own words (exactly
+DBoW2's complexity).
 
 Implements the reference's two-stage candidate logic:
-- DetectLoopCandidates (`:76-198`): exclude covisible KFs, floor on shared
-  words (0.8·max), accumulate covisibility-group scores, 0.75·bestAcc cut.
+- DetectLoopCandidates (`src/KeyFrameDatabase.cc:76-198`): exclude covisible
+  KFs, floor on shared words (0.8·max), accumulate covisibility-group
+  scores, 0.75·bestAcc cut.
 - DetectRelocalizationCandidates (`:200-310`): same without exclusion.
 """
 from __future__ import annotations
@@ -26,58 +31,99 @@ class KeyFrameDatabase:
     def __init__(self, voc: Vocabulary, store: MapStore):
         self.voc = voc
         self.store = store
-        self.bows = np.zeros((store.max_kf, voc.n_words), np.float32)
-        self.has_words = np.zeros((store.max_kf, voc.n_words), bool)
-        self.registered = np.zeros(store.max_kf, bool)
-        # per-frame caches (word/node ids for BoW-constrained matching)
-        self.kf_words = {}
-        self.kf_nodes = {}
+        # per-KF sparse BoW: sorted word ids + L1-normalized weights
+        self.kf_word_ids: dict[int, np.ndarray] = {}
+        self.kf_word_wts: dict[int, np.ndarray] = {}
+        # inverted file: word -> (list of kf ids, list of weights); lists
+        # are append-only, erased KFs are masked at query time
+        self._inv_kfs: dict[int, list] = {}
+        self._inv_wts: dict[int, list] = {}
+        self.registered: set[int] = set()
 
     # ------------------------------------------------------------------
     def transform_frame(self, kp: Keypoints):
-        import jax.numpy as jnp
-
-        bow, words, nodes = transform(self.voc, kp.desc_pm1, kp.valid)
-        return np.asarray(bow), np.asarray(words), np.asarray(nodes)
+        bow_ids, bow_wts = transform_sparse(self.voc, kp)
+        return bow_ids, bow_wts
 
     def add_keyframe(self, kf: int, kp: Keypoints):
-        bow, words, nodes = self.transform_frame(kp)
-        self.bows[kf] = bow
-        self.has_words[kf] = bow > 0
-        self.registered[kf] = True
-        self.kf_words[kf] = words
-        self.kf_nodes[kf] = nodes
+        ids, wts = self.transform_frame(kp)
+        self.kf_word_ids[kf] = ids
+        self.kf_word_wts[kf] = wts
+        for w, wt in zip(ids.tolist(), wts.tolist()):
+            self._inv_kfs.setdefault(w, []).append(kf)
+            self._inv_wts.setdefault(w, []).append(wt)
+        self.registered.add(kf)
 
     def erase_keyframe(self, kf: int):
-        self.registered[kf] = False
-        self.bows[kf] = 0
-        self.has_words[kf] = False
+        self.registered.discard(kf)
+        self.kf_word_ids.pop(kf, None)
+        self.kf_word_wts.pop(kf, None)
 
     # ------------------------------------------------------------------
-    def _common_words(self, bow):
-        q = bow > 0
-        return (self.has_words & q[None, :]).sum(1)
+    def _accumulate(self, q_ids: np.ndarray, q_wts: np.ndarray):
+        """Walk the posting lists of the query's words; returns
+        (common_word_count, l1_score) arrays over kf ids [0, n_kf)."""
+        n = self.store.n_kf
+        common = np.zeros(n, np.int32)
+        score = np.zeros(n, np.float32)
+        kf_chunks, s_chunks = [], []
+        for w, qw in zip(q_ids.tolist(), q_wts.tolist()):
+            kfs = self._inv_kfs.get(w)
+            if not kfs:
+                continue
+            kf_arr = np.asarray(kfs, np.int64)
+            wt_arr = np.asarray(self._inv_wts[w], np.float32)
+            kf_chunks.append(kf_arr)
+            s_chunks.append(np.minimum(wt_arr, qw))
+        if not kf_chunks:
+            return common, score
+        kf_all = np.concatenate(kf_chunks)
+        s_all = np.concatenate(s_chunks)
+        inb = kf_all < n
+        np.add.at(common, kf_all[inb], 1)
+        np.add.at(score, kf_all[inb], s_all[inb])
+        return common, score
 
-    def _l1_scores(self, bow):
-        return np.minimum(self.bows, bow[None, :]).sum(1)
+    def _active_mask(self):
+        store = self.store
+        active = np.zeros(store.n_kf, bool)
+        if self.registered:
+            reg = np.fromiter(self.registered, np.int64)
+            reg = reg[reg < store.n_kf]
+            active[reg] = True
+        return active & store.kf_valid[: store.n_kf]
 
+    def pair_score(self, a: int, b: int) -> float:
+        """L1 BoW similarity between two registered keyframes."""
+        ia, ib = self.kf_word_ids.get(a), self.kf_word_ids.get(b)
+        if ia is None or ib is None:
+            return 0.0
+        common, ca, cb = np.intersect1d(ia, ib, assume_unique=True,
+                                        return_indices=True)
+        if common.size == 0:
+            return 0.0
+        return float(np.minimum(self.kf_word_wts[a][ca],
+                                self.kf_word_wts[b][cb]).sum())
+
+    # ------------------------------------------------------------------
     def detect_loop_candidates(self, kf: int, min_score: float):
         store = self.store
-        active = self.registered & store.kf_valid[: store.max_kf]
+        ids = self.kf_word_ids.get(kf)
+        if ids is None:
+            return np.zeros(0, np.int64)
+        active = self._active_mask()
         active[kf] = False
         # exclude covisible keyframes (the loop must close a long cycle)
-        connected = store.covis[kf] >= 15
+        connected = store.covis[kf, : store.n_kf] >= 15
         cand_mask = active & ~connected
         if not cand_mask.any():
             return np.zeros(0, np.int64)
-        bow = self.bows[kf]
-        common = self._common_words(bow)
+        common, scores = self._accumulate(ids, self.kf_word_wts[kf])
         common[~cand_mask] = 0
-        max_common = common.max()
+        max_common = common.max(initial=0)
         if max_common < 1:
             return np.zeros(0, np.int64)
         min_common = max(int(0.8 * max_common), 1)
-        scores = self._l1_scores(bow)
         ok = cand_mask & (common >= min_common) & (scores >= min_score)
         cands = np.nonzero(ok)[0]
         if len(cands) == 0:
@@ -98,17 +144,16 @@ class KeyFrameDatabase:
 
     def detect_relocalization_candidates(self, kp: Keypoints):
         store = self.store
-        bow, _, _ = self.transform_frame(kp)
-        active = self.registered & store.kf_valid[: store.max_kf]
+        q_ids, q_wts = self.transform_frame(kp)
+        active = self._active_mask()
         if not active.any():
             return np.zeros(0, np.int64)
-        common = self._common_words(bow)
+        common, scores = self._accumulate(q_ids, q_wts)
         common[~active] = 0
-        max_common = common.max()
+        max_common = common.max(initial=0)
         if max_common < 1:
             return np.zeros(0, np.int64)
         min_common = max(int(0.8 * max_common), 1)
-        scores = self._l1_scores(bow)
         ok = active & (common >= min_common)
         cands = np.nonzero(ok)[0]
         if len(cands) == 0:
@@ -130,9 +175,42 @@ class KeyFrameDatabase:
     def min_covisible_score(self, kf: int) -> float:
         """Reference loop gate: min BoW score between kf and its covisible
         neighbors (`LoopClosing::DetectLoop`, src/LoopClosing.cc:124-141)."""
-        store = self.store
-        neighbors = store.covisible_kfs(kf, min_weight=15)
+        neighbors = self.store.covisible_kfs(kf, min_weight=15)
         if len(neighbors) == 0:
             return 0.0
-        scores = self._l1_scores(self.bows[kf])
-        return float(scores[neighbors].min())
+        return min(self.pair_score(kf, int(n)) for n in neighbors)
+
+
+_weight_cache: dict[int, np.ndarray] = {}
+
+
+def _host_weights(voc: Vocabulary) -> np.ndarray:
+    key = id(voc.weights)
+    w = _weight_cache.get(key)
+    if w is None:
+        _weight_cache.clear()   # one vocabulary per process in practice
+        w = np.asarray(voc.weights)
+        _weight_cache[key] = w
+    return w
+
+
+def transform_sparse(voc: Vocabulary, kp: Keypoints):
+    """Descriptor batch -> sparse L1-normalized tf-idf BoW (sorted unique
+    word ids, weights). Device vocabulary descent (batched Hamming argmax
+    per level, `vocab._descend`), sparsified on host — never materializes
+    the (n_words,) dense vector, so a 1M-word vocabulary costs nothing
+    extra."""
+    from .vocab import _descend
+
+    word, _ = _descend(voc, kp.desc_pm1)
+    words = np.asarray(word)
+    valid = np.asarray(kp.valid)
+    w = words[valid & (words >= 0)]
+    if w.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    ids, counts = np.unique(w, return_counts=True)
+    wts = (_host_weights(voc)[ids] * counts).astype(np.float32)
+    s = wts.sum()
+    if s > 0:
+        wts /= s
+    return ids.astype(np.int64), wts

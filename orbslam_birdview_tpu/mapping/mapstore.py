@@ -103,13 +103,72 @@ class MapStore:
         self.big_change_idx = 0
 
     # ------------------------------------------------------------------
+    # capacity growth — KITTI-scale sequences blow past any fixed cap;
+    # arrays double geometrically (amortized O(1) per alloc). The reference
+    # has no caps at all (std::set maps, `include/Map.h:80-84`); round-1's
+    # hard asserts were the #2 gap in VERDICT.md.
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _grow(arr: np.ndarray, new_n: int, fill=0) -> np.ndarray:
+        shape = (new_n,) + arr.shape[1:]
+        out = np.full(shape, fill, arr.dtype) if fill != 0 else np.zeros(
+            shape, arr.dtype)
+        out[: arr.shape[0]] = arr
+        return out
+
+    def _ensure_kf_capacity(self, need: int):
+        if need <= self.max_kf:
+            return
+        new = max(self.max_kf * 2, need)
+        g = self._grow
+        for name in ("kf_t", "kf_kp_xy", "kf_kp_octave", "kf_kp_angle",
+                     "kf_kp_valid", "kf_desc", "kf_bird_xy", "kf_bird_base",
+                     "kf_bird_valid", "kf_bird_desc", "kf_valid",
+                     "kf_timestamp"):
+            setattr(self, name, g(getattr(self, name), new))
+        for name in ("kf_frame_id", "kf_kp_mp", "kf_bird_mp", "kf_parent"):
+            setattr(self, name, g(getattr(self, name), new, fill=INVALID))
+        self.kf_kp_depth = g(self.kf_kp_depth, new, fill=-1.0)
+        self.kf_kp_ur = g(self.kf_kp_ur, new, fill=-1.0)
+        kf_R = np.tile(np.eye(3, dtype=np.float32), (new, 1, 1))
+        kf_R[: self.max_kf] = self.kf_R
+        self.kf_R = kf_R
+        covis = np.zeros((new, new), np.int32)
+        covis[: self.max_kf, : self.max_kf] = self.covis
+        self.covis = covis
+        self.max_kf = new
+
+    def _ensure_mp_capacity(self, need: int):
+        if need <= self.max_mp:
+            return
+        new = max(self.max_mp * 2, need)
+        g = self._grow
+        for name in ("mp_pos", "mp_valid", "mp_desc", "mp_normal",
+                     "mp_min_dist", "mp_max_dist", "mp_n_obs", "mp_visible",
+                     "mp_found"):
+            setattr(self, name, g(getattr(self, name), new))
+        for name in ("mp_ref_kf", "mp_first_kf_id"):
+            setattr(self, name, g(getattr(self, name), new, fill=INVALID))
+        self.max_mp = new
+
+    def _ensure_bmp_capacity(self, need: int):
+        if need <= self.max_bmp:
+            return
+        new = max(self.max_bmp * 2, need)
+        g = self._grow
+        for name in ("bmp_pos", "bmp_valid", "bmp_desc", "bmp_n_obs"):
+            setattr(self, name, g(getattr(self, name), new))
+        self.bmp_first_kf_id = g(self.bmp_first_kf_id, new, fill=INVALID)
+        self.max_bmp = new
+
+    # ------------------------------------------------------------------
     # allocation
     # ------------------------------------------------------------------
     def alloc_keyframe(self, R, t, frame_id, timestamp, kp, bird=None,
                        kp_depth=None, kp_ur=None) -> int:
         """kp: frontend Keypoints (numpy-convertible). Returns kf index."""
         i = self.n_kf
-        assert i < self.max_kf, "keyframe capacity exceeded"
+        self._ensure_kf_capacity(i + 1)
         self.n_kf += 1
         self.kf_valid[i] = True
         self.kf_R[i] = np.asarray(R)
@@ -139,7 +198,7 @@ class MapStore:
         """Allocate len(positions) map points; returns their indices."""
         k = len(positions)
         ids = np.arange(self.n_mp, self.n_mp + k)
-        assert ids[-1] < self.max_mp if k else True, "map point capacity exceeded"
+        self._ensure_mp_capacity(self.n_mp + k)
         self.n_mp += k
         self.mp_pos[ids] = positions
         self.mp_valid[ids] = True
@@ -151,7 +210,7 @@ class MapStore:
     def alloc_bird_points(self, positions, descriptors, first_kf_id: int):
         k = len(positions)
         ids = np.arange(self.n_bmp, self.n_bmp + k)
-        assert ids[-1] < self.max_bmp if k else True, "bird point capacity exceeded"
+        self._ensure_bmp_capacity(self.n_bmp + k)
         self.n_bmp += k
         self.bmp_pos[ids] = positions
         self.bmp_valid[ids] = True

@@ -1,0 +1,217 @@
+"""Fused per-frame tracking step: ONE device dispatch per tracked frame.
+
+Round-1 tracking (`tracking.py`) orchestrated 5-8 separate device calls per
+frame (extract → frustum gate → match → pose opt → local-map match → pose
+opt), each with a blocking host readback. On real deployments dispatch costs
+~0.1 ms, but the host↔device round trips still serialize the frame; on the
+dev tunnel (29 ms RTT per call) they dominate wall-clock outright.
+
+This module fuses the whole OK-state frame path of the reference
+(`Tracking::TrackWithMotionModel` src/Tracking.cc:1190-1325 +
+`Tracking::TrackLocalMap` :1327-1421) into a single jitted program:
+
+  extract ORB → project local-map candidates under the motion-model pose →
+  match (narrow, widen if <20) → motion-only LM → re-project under the
+  refined pose → tight re-match → final LM with chi² reclassification
+
+Key economy: the (P_cap × K_cap) Hamming matrix is computed ONCE per frame
+(one int8 MXU matmul); every matching stage is a masked min-reduction over
+it — re-matching after pose refinement only changes the window mask, never
+the distances.
+
+The local-map candidate bundle (`LocalMapDevice`) is a device-resident
+snapshot of the tracker's local map, refreshed on keyframe events (the
+reference re-votes the local map every frame, but between keyframes it is
+nearly constant — `Tracking::UpdateLocalKeyFrames` src/Tracking.cc:1676-1790
+seeds it from the same covisibility graph we snapshot). Host reads back ONE
+packed summary vector per frame; full keypoint data is fetched only when a
+keyframe is created.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..frontend import matcher, orb
+from ..frontend.keypoints import Keypoints, unpack_bits_to_pm1
+from ..graph import pose_opt
+from . import device_ops
+
+
+class LocalMapDevice(NamedTuple):
+    """Padded device snapshot of the local-map candidates (front camera)."""
+
+    pos: jnp.ndarray        # (P,3) f32 world positions
+    normal: jnp.ndarray     # (P,3) f32 viewing normals
+    min_dist: jnp.ndarray   # (P,) f32 scale-band lower
+    max_dist: jnp.ndarray   # (P,) f32 scale-band upper
+    valid: jnp.ndarray      # (P,) bool
+    desc_u8: jnp.ndarray    # (P,32) u8 — unpacked to ±1 on device
+
+    @property
+    def capacity(self) -> int:
+        return self.pos.shape[0]
+
+
+class BirdMapDevice(NamedTuple):
+    """Padded device snapshot of BEV ground landmarks + last-frame BEV kps."""
+
+    pos: jnp.ndarray        # (Pb,3) f32 world positions
+    valid: jnp.ndarray      # (Pb,) bool
+    desc_u8: jnp.ndarray    # (Pb,32) u8
+
+    @property
+    def capacity(self) -> int:
+        return self.pos.shape[0]
+
+
+class FusedOutput(NamedTuple):
+    kp: Keypoints           # full frame keypoints (device; fetched lazily)
+    summary: jnp.ndarray    # packed per-frame readback — ONE transfer
+    bird_kp: Optional[Keypoints] = None
+    bird_base_xyz: Optional[jnp.ndarray] = None  # (Kb,3) base-frame points
+
+    # summary layout (f32):
+    # [0:9] R row-major, [9:12] t, [12] n_inliers_front, [13] n_matched,
+    # [14] n_inliers_bird, [15] n_kp
+    # [16:16+P]        per-candidate code: visible*1 + found*2
+    # [16+P:16+P+K]    kp_slot: candidate slot per keypoint or -1
+    # bird mode appends:
+    # [..:..+Pb]       per-bird-candidate code
+    # [..:..+Kb]       bird_slot per BEV keypoint or -1
+
+
+def _match_stage(ham, uv, ok, radius, pred_oct, kp_xy, kp_octave,
+                 max_dist: int):
+    """One masked min-reduction matching pass over the shared Hamming
+    matrix (the window/eligibility mask is the only thing that varies)."""
+    d2 = jnp.sum((uv[:, None, :] - kp_xy[None, :, :]) ** 2, axis=-1)
+    mask = ok[:, None] & (d2 <= (radius[:, None] ** 2))
+    if pred_oct is not None:
+        mask = mask & (jnp.abs(kp_octave[None, :] - pred_oct[:, None]) <= 1)
+    dist = jnp.where(mask, ham, matcher.BIG_DIST)
+    best, idx = matcher._packed_min(dist, axis=1)
+    found = best <= max_dist
+    idx = jnp.where(found, idx, matcher.INVALID)
+    return matcher.resolve_duplicate_targets(idx, best)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "fx", "fy", "cx", "cy", "width", "height",
+                     "min_widen"))
+def track_step_mono(
+    img,
+    R_pred,
+    t_pred,
+    lm: LocalMapDevice,
+    scale_factors,     # (L,) f32
+    inv_sigma2,        # (L,) f32 = 1/level_sigma2
+    cfg: orb.ORBConfig,
+    fx: float, fy: float, cx: float, cy: float,
+    width: int, height: int,
+    radius_mult_motion: float = 6.0,   # motion_search_radius / 2.5
+    radius_mult_local: float = 1.2,    # local_search_radius / 2.5
+    min_widen: int = 20,
+) -> FusedOutput:
+    kp = orb.extract_orb(img, cfg)
+    P = lm.capacity
+    n_levels = scale_factors.shape[0]
+    log_scale = jnp.log(scale_factors[1]) if n_levels > 1 else jnp.float32(0.18)
+
+    lm_pm1 = unpack_bits_to_pm1(lm.desc_u8)
+    ham = matcher.hamming_matrix(lm_pm1, kp.desc_pm1, lm.valid, kp.valid)
+
+    def gate(R, t):
+        return device_ops.frustum_gate(
+            R, t, lm.pos, lm.normal, lm.min_dist, lm.max_dist, lm.valid,
+            fx, fy, cx, cy, width, height, n_levels, log_scale)
+
+    # ---- stage 1: motion-model match (narrow, widen when starved) ------
+    uv1, oct1, radf1, ok1 = gate(R_pred, t_pred)
+    sf1 = scale_factors[jnp.clip(oct1, 0, n_levels - 1)]
+    r_narrow = radf1 * radius_mult_motion * sf1
+    idx_n = _match_stage(ham, uv1, ok1, r_narrow, oct1, kp.xy, kp.octave,
+                         matcher.TH_HIGH)
+    n_narrow = jnp.sum((idx_n >= 0).astype(jnp.int32))
+    idx_w = _match_stage(ham, uv1, ok1, r_narrow * 2.0, oct1, kp.xy,
+                         kp.octave, matcher.TH_HIGH)
+    idx1 = jnp.where(n_narrow >= min_widen, idx_n, idx_w)
+
+    info_of = lambda idx: inv_sigma2[
+        jnp.clip(kp.octave[jnp.maximum(idx, 0)], 0, n_levels - 1)]
+    obs1 = kp.xy[jnp.maximum(idx1, 0)]
+    res1 = pose_opt.optimize_pose(
+        R_pred, t_pred, lm.pos, obs1, info_of(idx1), idx1 >= 0,
+        fx, fy, cx, cy, rounds=2)
+
+    # ---- stage 2: local-map re-match under the refined pose -------------
+    uv2, oct2, radf2, ok2 = gate(res1.R, res1.t)
+    sf2 = scale_factors[jnp.clip(oct2, 0, n_levels - 1)]
+    r2 = radf2 * radius_mult_local * sf2
+    idx2 = _match_stage(ham, uv2, ok2, r2, oct2, kp.xy, kp.octave,
+                        matcher.TH_HIGH)
+    # keep stage-1 inlier associations for candidates stage 2 lost
+    # (`TrackLocalMap` only ADDS matches on top of the motion-model set)
+    idx2 = jnp.where(idx2 >= 0, idx2,
+                     jnp.where(res1.inliers_mono, idx1, matcher.INVALID))
+    idx2 = matcher.resolve_duplicate_targets(
+        idx2, jnp.where(idx2 >= 0, 0, matcher.BIG_DIST)
+        + jnp.take_along_axis(
+            ham, jnp.maximum(idx2, 0)[:, None], axis=1)[:, 0])
+    obs2 = kp.xy[jnp.maximum(idx2, 0)]
+    res2 = pose_opt.optimize_pose(
+        res1.R, res1.t, lm.pos, obs2, info_of(idx2), idx2 >= 0,
+        fx, fy, cx, cy, rounds=4)
+
+    final_inl = res2.inliers_mono & (idx2 >= 0)
+    visible = ok1 | ok2
+    found = final_inl
+    n_inl = jnp.sum(final_inl.astype(jnp.int32))
+    n_matched = jnp.sum((idx2 >= 0).astype(jnp.int32))
+
+    # keypoint -> candidate slot (inliers only)
+    K = kp.capacity
+    kp_slot = jnp.full((K,), -1, jnp.int32)
+    slot_ids = jnp.arange(P, dtype=jnp.int32)
+    kp_slot = kp_slot.at[jnp.where(final_inl, idx2, K)].set(
+        slot_ids, mode="drop")
+
+    code = visible.astype(jnp.float32) + 2.0 * found.astype(jnp.float32)
+    summary = jnp.concatenate([
+        res2.R.reshape(-1), res2.t,
+        jnp.stack([n_inl.astype(jnp.float32),
+                   n_matched.astype(jnp.float32),
+                   jnp.float32(0.0),
+                   kp.count().astype(jnp.float32)]),
+        code,
+        kp_slot.astype(jnp.float32),
+    ])
+    return FusedOutput(kp=kp, summary=summary)
+
+
+def unpack_summary(summary_np, P: int, K: int, Pb: int = 0, Kb: int = 0):
+    """Host-side view of the packed summary vector."""
+    R = summary_np[0:9].reshape(3, 3).astype("float32")
+    t = summary_np[9:12].astype("float32")
+    n_inl = int(summary_np[12])
+    n_matched = int(summary_np[13])
+    n_inl_bird = int(summary_np[14])
+    n_kp = int(summary_np[15])
+    code = summary_np[16:16 + P].astype(int)
+    visible = (code & 1) > 0
+    found = (code & 2) > 0
+    kp_slot = summary_np[16 + P:16 + P + K].astype(int)
+    out = dict(R=R, t=t, n_inliers=n_inl, n_matched=n_matched,
+               n_inliers_bird=n_inl_bird, n_kp=n_kp,
+               visible=visible, found=found, kp_slot=kp_slot)
+    off = 16 + P + K
+    if Pb:
+        bcode = summary_np[off:off + Pb].astype(int)
+        out["bird_visible"] = (bcode & 1) > 0
+        out["bird_found"] = (bcode & 2) > 0
+        out["bird_slot"] = summary_np[off + Pb:off + Pb + Kb].astype(int)
+    return out

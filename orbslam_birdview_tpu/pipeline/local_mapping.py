@@ -115,8 +115,6 @@ class LocalMapper:
             if len(k1) == 0:
                 continue
             k2 = idx2[k1]
-            if store.n_mp + len(k1) > store.max_mp:
-                break
             descs = store.kf_desc[kf][k1]
             ids = store.alloc_points(X[k1].astype(np.float32), descs, kf,
                                      int(store.kf_frame_id[kf]))

@@ -31,7 +31,7 @@ from ..frontend.keypoints import unpack_bits_to_pm1
 from ..mapping.mapstore import INVALID, MapStore
 from ..graph import pose_opt
 from ..solvers import initializer, pnp
-from . import device_ops
+from . import device_ops, fused_track
 from .frame import FrameData
 
 NOT_INITIALIZED = 0
@@ -93,6 +93,14 @@ class Tracker:
         self.R_cb = self.R_bc.T
         self.t_cb = -self.R_bc.T @ self.t_bc
         self._n_last_inliers = 0
+        # fused one-dispatch tracking state (device-resident local map)
+        self._lm_bundle: Optional[fused_track.LocalMapDevice] = None
+        self._lm_ids: Optional[np.ndarray] = None
+        self._lm_n = 0
+        self._lm_ref_kf = INVALID
+        self._lm_change_idx = -1
+        self._sf_dev = jnp.asarray(self.scale_factors)
+        self._isig_dev = jnp.asarray(1.0 / self.level_sigma2)
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -150,6 +158,16 @@ class Tracker:
     # ------------------------------------------------------------------
     def process(self, img, timestamp, bird_img=None, bird_mask=None,
                 depth_img=None) -> FrameData:
+        if (self.cfg.tracking.fused_tracking and self.state == OK
+                and self.velocity is not None and not self.only_tracking
+                and bird_img is None and depth_img is None
+                and self.cfg.sensor == "mono"):
+            if (self._lm_bundle is None
+                    or self._lm_ref_kf != self.ref_kf
+                    or self._lm_change_idx != self.store.big_change_idx):
+                self._refresh_local_map()
+            if self._lm_bundle is not None:
+                return self._process_fused(img, timestamp)
         fd = self.make_frame(img, timestamp, bird_img, bird_mask, depth_img)
         if self.state == NOT_INITIALIZED:
             self._try_initialize(fd)
@@ -182,6 +200,103 @@ class Tracker:
                     self.reset_requested = True
                 self.state = LOST
                 self.velocity = None
+        self._record_trajectory(fd)
+        self.last_frame = fd
+        return fd
+
+    # ------------------------------------------------------------------
+    # fused one-dispatch tracking (pipeline/fused_track.py)
+    # ------------------------------------------------------------------
+    def _refresh_local_map(self):
+        """Snapshot the local-map candidate set to the device. Runs on
+        keyframe events / loop corrections, NOT per frame — the local map
+        between keyframes is nearly constant (the reference re-votes it per
+        frame from the same covisibility graph, src/Tracking.cc:1676-1790)."""
+        if self.ref_kf == INVALID or not self.store.kf_valid[self.ref_kf]:
+            self._lm_bundle = None
+            return
+        store = self.store
+        cap = self.cfg.tracking.fused_point_cap
+        kfs = store.covisible_kfs(self.ref_kf, min_weight=1,
+                                  top_n=self.cfg.tracking.local_map_max_kfs)
+        kfs = np.concatenate([[self.ref_kf], kfs]).astype(np.int64)
+        mp = store.kf_kp_mp[kfs]
+        ids = np.unique(mp[mp >= 0])
+        ids = ids[store.mp_valid[ids]]
+        if len(ids) > cap:
+            # over capacity: keep the best-established points (most
+            # observations), stable order
+            order = np.argsort(-store.mp_n_obs[ids], kind="stable")
+            ids = np.sort(ids[order[:cap]])
+        n = len(ids)
+        ids_p = np.pad(ids, (0, cap - n))
+        valid = np.zeros(cap, bool)
+        valid[:n] = True
+        self._lm_bundle = fused_track.LocalMapDevice(
+            pos=jnp.asarray(store.mp_pos[ids_p]),
+            normal=jnp.asarray(store.mp_normal[ids_p]),
+            min_dist=jnp.asarray(store.mp_min_dist[ids_p]),
+            max_dist=jnp.asarray(store.mp_max_dist[ids_p]),
+            valid=jnp.asarray(valid),
+            desc_u8=jnp.asarray(store.mp_desc[ids_p]),
+        )
+        self._lm_ids = ids_p
+        self._lm_n = n
+        self._lm_ref_kf = self.ref_kf
+        self._lm_change_idx = store.big_change_idx
+
+    def _process_fused(self, img, timestamp) -> FrameData:
+        cfgt = self.cfg.tracking
+        cam = self.cfg.camera
+        store = self.store
+        self._update_last_frame()
+        T_pred = self.velocity @ self.last_frame.Tcw()
+        out = fused_track.track_step_mono(
+            jnp.asarray(img, jnp.float32),
+            jnp.asarray(T_pred[:3, :3]), jnp.asarray(T_pred[:3, 3]),
+            self._lm_bundle, self._sf_dev, self._isig_dev, self.cfg.orb,
+            float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+            int(cam.width), int(cam.height),
+            radius_mult_motion=cfgt.motion_search_radius / 2.5,
+            radius_mult_local=cfgt.local_search_radius / 2.5,
+        )
+        s = np.asarray(out.summary)        # the ONE blocking readback
+        P = self._lm_bundle.capacity
+        K = out.kp.capacity
+        info = fused_track.unpack_summary(s, P, K)
+        slot = info["kp_slot"]
+        kp_mp = np.where(slot >= 0, self._lm_ids[np.clip(slot, 0, P - 1)],
+                         INVALID).astype(np.int64)
+        fd = FrameData(frame_id=self.frame_id, timestamp=timestamp,
+                       kp=out.kp, R=info["R"], t=info["t"], kp_mp=kp_mp)
+        self.frame_id += 1
+        slot_real = np.arange(P) < self._lm_n
+        np.add.at(store.mp_visible, self._lm_ids[info["visible"] & slot_real], 1)
+        np.add.at(store.mp_found, self._lm_ids[info["found"] & slot_real], 1)
+        thresh = (cfgt.min_localmap_inliers_after_reloc
+                  if fd.frame_id - self.last_reloc_frame_id < 30
+                  else cfgt.min_localmap_inliers)
+        n_inl = info["n_inliers"]
+        self._n_last_inliers = n_inl
+        ok = n_inl >= thresh
+        if not ok:
+            # fused path starved — classic fallback for this frame
+            # (`TrackReferenceKeyFrame` then local map, src/Tracking.cc:541-548)
+            fd.kp_mp[:] = INVALID
+            ok = self._track_reference_kf(fd)
+            if ok:
+                ok = self._track_local_map(fd)
+        if ok:
+            self.state = OK
+            fd.pose_ok = True
+            self._update_velocity(fd)
+            if self._need_new_keyframe(fd):
+                self._create_keyframe(fd)
+        else:
+            if self.store.kf_valid.sum() <= 5:
+                self.reset_requested = True
+            self.state = LOST
+            self.velocity = None
         self._record_trajectory(fd)
         self.last_frame = fd
         return fd
@@ -825,8 +940,11 @@ class Tracker:
 
     def _create_keyframe(self, fd: FrameData):
         store = self.store
-        if store.n_kf >= store.max_kf:
-            return
+        if not isinstance(fd.kp.xy, np.ndarray):
+            # one batched transfer instead of one implicit fetch per array
+            from ..frontend.keypoints import Keypoints
+
+            fd.kp = Keypoints(*jax.device_get(tuple(fd.kp)))
         bird = ((fd.bird_kp, fd.bird_base_xyz)
                 if fd.bird_kp is not None else None)
         kf = store.alloc_keyframe(fd.R, fd.t, fd.frame_id, fd.timestamp, fd.kp,
@@ -850,6 +968,8 @@ class Tracker:
             self.mapper.process_keyframe(kf)
             fd.R = store.kf_R[kf].copy()
             fd.t = store.kf_t[kf].copy()
+        if self.cfg.tracking.fused_tracking:
+            self._refresh_local_map()
 
     def _seed_depth_points(self, fd: FrameData, kf: int):
         """`Tracking::CreateNewKeyFrame` stereo branch: unproject the closest

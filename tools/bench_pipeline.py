@@ -1,0 +1,114 @@
+"""True end-to-end pipeline fps: run System.track_* over a pre-rendered
+synthetic sequence and wall-clock every frame INCLUDING host orchestration
+and keyframe-path work — the reference's acceptance measurement
+(`Examples/Monocular/mono_fisheye.cc:152-161`: per-frame ttrack, median +
+mean printed at exit).
+
+Usage:
+  python tools/bench_pipeline.py [--frames 300] [--mode mono|bird]
+         [--no-loop-closing] [--json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--mode", default="mono", choices=["mono", "bird"])
+    ap.add_argument("--no-loop-closing", action="store_true")
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--timing", action="store_true")
+    args = ap.parse_args()
+
+    from orbslam_birdview_tpu.api.config import SlamConfig
+    from orbslam_birdview_tpu.api.system import System
+    from orbslam_birdview_tpu.core.camera import BirdviewCamera, PinholeCamera
+    from orbslam_birdview_tpu.utils import synth
+
+    cam = PinholeCamera(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                        width=640, height=480)
+    gt = []
+    frames = []
+    t_render = time.perf_counter()
+    if args.mode == "mono":
+        cfg = SlamConfig(sensor="mono")
+        cfg.camera = cam
+        seq = synth.WallSequence(cam, n_frames=args.frames, step=0.015,
+                                 push=0.002)
+        for i in range(args.frames):
+            img, pose = seq.frame(i)
+            frames.append((img, None, None))
+            gt.append(pose)
+    else:
+        bv = BirdviewCamera()
+        cfg = SlamConfig(sensor="mono_bird")
+        cfg.camera = cam
+        cfg.birdview = bv
+        seq = synth.BirdSequence(cam, bv, n_frames=args.frames)
+        for i in range(args.frames):
+            img, bev, pose = seq.frame(i)
+            frames.append((img, bev, None))
+            gt.append(pose)
+    print(f"rendered {args.frames} frames in "
+          f"{time.perf_counter() - t_render:.1f}s", file=sys.stderr)
+
+    sys_ = System(cfg, enable_loop_closing=not args.no_loop_closing)
+    times = []
+    fps_ts = 1.0 / 30.0
+    for i, (img, bev, _) in enumerate(frames):
+        t0 = time.perf_counter()
+        if bev is None:
+            sys_.track_monocular(img, i * fps_ts)
+        else:
+            sys_.track_monocular_with_birdview(img, bev, None, i * fps_ts)
+        times.append(time.perf_counter() - t0)
+        if (i + 1) % 50 == 0:
+            print(f"frame {i+1}: state={sys_.get_tracking_state()} "
+                  f"kfs={sys_.n_keyframes()} mps={sys_.n_map_points()} "
+                  f"last={times[-1]*1e3:.0f}ms", file=sys.stderr)
+
+    times = np.array(times)
+    # skip warmup/compile frames: drop any frame >5x the median (compiles)
+    med = float(np.median(times))
+    steady = times[times < 5 * med]
+    # ATE sanity
+    est, gtp = [], []
+    poses = sys_._frame_poses()
+    for (ts, Tcw), (R_cw, t_cw) in zip(poses, gt):
+        if Tcw is None:
+            continue
+        est.append(-Tcw[:3, :3].T @ Tcw[:3, 3])
+        gtp.append(-R_cw.T @ t_cw)
+    ate = synth.ate_rmse(np.array(est), np.array(gtp), with_scale=True) \
+        if len(est) > 10 else float("nan")
+    n_compile = int((times >= 5 * med).sum())
+    out = {
+        "metric": f"pipeline_fps_1chip_{args.mode}",
+        "value": round(1.0 / med, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(1.0 / med / 30.0, 3),
+        "median_ms": round(med * 1e3, 2),
+        "mean_ms": round(float(steady.mean()) * 1e3, 2),
+        "p90_ms": round(float(np.percentile(steady, 90)) * 1e3, 2),
+        "n_frames": len(times),
+        "n_compile_frames": n_compile,
+        "tracked_frames": len(est),
+        "keyframes": sys_.n_keyframes(),
+        "ate_rmse_m": round(ate, 4),
+    }
+    print(json.dumps(out))
+    if args.timing:
+        print(sys_.tracker.timer.summary(), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
