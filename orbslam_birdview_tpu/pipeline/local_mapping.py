@@ -425,23 +425,50 @@ class LocalMapper:
         for i, k in enumerate(all_kfs):
             if int(k) == 0:
                 fixed_np[i] = True
-        # solver selection: the dense-W Schur path materializes a
-        # (C,6,P,3) coupling tensor — one MXU matmul, optimal for small
-        # maps; past ~128 MB switch to the matrix-free implicit-Schur PCG
-        # path (O(E) memory) so full-map GBA scales to KITTI-sized maps
-        dense_w_bytes = C * 6 * point_cap * 3 * 4
-        solver = (ba.bundle_adjust if dense_w_bytes <= (128 << 20)
-                  else ba_large.bundle_adjust_large)
-        res = solver(
-            cam_R, cam_t, jnp.asarray(fixed_np), cam_valid, points, pvalid,
-            mono_es, stereo_es, bird_es,
-            cam.fx, cam.fy, cam.cx, cam.cy, bf=cam.bf,
-            iters_phase1=iters[0], iters_phase2=iters[1],
-        )
+        import jax
+
+        if jax.device_count() > 1:
+            # distributed GBA: map blocks sharded over the mesh, all edge
+            # types (mono+stereo+bird), implicit-Schur PCG with one (C,6)
+            # psum per CG matvec (parallel/sharded_ba.sharded_global_ba)
+            from ..parallel import sharded_ba as sba
+
+            n_dev = jax.device_count()
+            mesh = sba.make_mesh()
+            pts_p, ptv_p, part, P_pad = sba.partition_gba_problem(
+                n_dev, np.asarray(points), np.asarray(pvalid),
+                [("mono", mono_es), ("stereo", stereo_es),
+                 ("bird", bird_es)])
+            cR, ct, cf, cv, pts_d, ptv_d, edges = sba.place_gba_problem(
+                mesh, cam_R, cam_t, fixed_np, np.asarray(cam_valid),
+                pts_p, ptv_p, part)
+            get = lambda k: edges[k][0] if edges[k][0] is not None else None
+            R_s, t_s, X_s, _, _ = sba.sharded_global_ba(
+                mesh, cR, ct, cf, cv, pts_d, ptv_d,
+                get("mono"), get("stereo"), get("bird"),
+                cam.fx, cam.fy, cam.cx, cam.cy, bf=cam.bf,
+                iters_phase1=iters[0], iters_phase2=iters[1])
+            camR_out, camt_out = np.asarray(R_s), np.asarray(t_s)
+            pts_out = np.asarray(X_s)
+        else:
+            # solver selection: the dense-W Schur path materializes a
+            # (C,6,P,3) coupling tensor — one MXU matmul, optimal for small
+            # maps; past ~128 MB switch to the matrix-free implicit-Schur
+            # PCG path (O(E) memory) so full-map GBA scales to KITTI maps
+            dense_w_bytes = C * 6 * point_cap * 3 * 4
+            solver = (ba.bundle_adjust if dense_w_bytes <= (128 << 20)
+                      else ba_large.bundle_adjust_large)
+            res = solver(
+                cam_R, cam_t, jnp.asarray(fixed_np), cam_valid, points,
+                pvalid, mono_es, stereo_es, bird_es,
+                cam.fx, cam.fy, cam.cx, cam.cy, bf=cam.bf,
+                iters_phase1=iters[0], iters_phase2=iters[1],
+            )
+            camR_out, camt_out = np.asarray(res.cam_R), np.asarray(res.cam_t)
+            pts_out = np.asarray(res.points)
         nw = len(window)
-        store.kf_R[window] = np.asarray(res.cam_R[:nw])
-        store.kf_t[window] = np.asarray(res.cam_t[:nw])
-        pts_out = np.asarray(res.points)
+        store.kf_R[window] = camR_out[:nw]
+        store.kf_t[window] = camt_out[:nw]
         store.mp_pos[mp_ids] = pts_out[:n_mp]
         if n_bmp:
             store.bmp_pos[bmp_ids] = pts_out[n_mp : n_mp + n_bmp]
