@@ -44,6 +44,10 @@ class TrackingConfig:
     # motion-model + local-map tracking with a single readback per frame
     fused_tracking: bool = True
     fused_point_cap: int = 6144
+    # lag-1 pipelining: finalize frame t−1 while frame t computes on
+    # device (hides the readback latency). False = finalize every frame
+    # synchronously before returning.
+    fused_lag1: bool = True
     # birdview
     bird_info_scale_pose: float = 1.0
     bird_info_scale_ba: float = 1.0

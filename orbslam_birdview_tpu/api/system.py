@@ -68,17 +68,25 @@ class System:
             self.reset()
         return fd
 
+    def _flush(self):
+        """Drain the tracker's lag-1 pipeline so queries/exports see every
+        frame."""
+        self.tracker.flush()
+
     # ------------------------------------------------------------------
     # mode switches (System.h:84-90)
     # ------------------------------------------------------------------
     def activate_localization_mode(self):
+        self._flush()
         self.localization_only = True
 
     def deactivate_localization_mode(self):
+        self._flush()
         self.localization_only = False
         self.tracker.vo_mode = False
 
     def reset(self):
+        self._flush()
         cfg = self.cfg
         voc = self.loop_closer.voc if self.loop_closer is not None else None
         self.store = MapStore(max_kf=cfg.max_keyframes)
@@ -99,6 +107,7 @@ class System:
     # map checkpoint / resume (reference TODO, System.h:125-127)
     # ------------------------------------------------------------------
     def save_map(self, path: str):
+        self._flush()
         self.store.save(path)
 
     def load_map(self, path: str):
@@ -127,6 +136,7 @@ class System:
     # state queries
     # ------------------------------------------------------------------
     def get_tracking_state(self) -> int:
+        self._flush()
         return self.tracker.state
 
     def map_changed(self) -> int:
@@ -141,12 +151,14 @@ class System:
     def get_tracked_map_points(self):
         """Landmark ids associated to the last frame's keypoints
         (`System::GetTrackedMapPoints`, System.h:129-133); −1 where none."""
+        self._flush()
         fd = self.tracker.last_frame
         if fd is None:
             return np.zeros(0, np.int64)
         return fd.kp_mp.copy()
 
     def get_tracked_keypoints(self):
+        self._flush()
         fd = self.tracker.last_frame
         if fd is None:
             return None
@@ -158,6 +170,7 @@ class System:
     def _frame_poses(self):
         """Recover per-frame poses as Tcw = T_rel · Tcw_refkf with the
         *current* (optimized) keyframe poses (`SaveTrajectoryTUM`)."""
+        self._flush()
         store = self.store
         out = []
         for e in self.tracker.trajectory:
@@ -190,6 +203,7 @@ class System:
                 f.write(self._tum_line(ts, Twc) + "\n")
 
     def save_keyframe_trajectory_tum(self, path: str):
+        self._flush()
         store = self.store
         with open(path, "w") as f:
             for kf in store.valid_kf_ids():
@@ -203,6 +217,7 @@ class System:
         """Fork-added saver expressing keyframe poses in the vehicle base
         frame: Twb = Twc · Tcb (`SaveKeyFrameTrajectoryOdomTUM`,
         src/System.cc:542-584)."""
+        self._flush()
         store = self.store
         tr = self.tracker
         Tcb = np.eye(4, dtype=np.float32)

@@ -101,6 +101,10 @@ class MapStore:
         self.n_mp = 0
         self.n_bmp = 0
         self.big_change_idx = 0
+        # bumped only on LARGE coordinate-frame corrections (loop closure /
+        # post-loop GBA), not on incremental local BA — lag-1 tracking uses
+        # it to invalidate frames dispatched against the pre-correction map
+        self.correction_epoch = 0
 
     # ------------------------------------------------------------------
     # capacity growth — KITTI-scale sequences blow past any fixed cap;
@@ -396,7 +400,8 @@ class MapStore:
     # checkpoint / resume — the reference left SaveMap/LoadMap as a TODO
     # (`include/System.h:125-127`); flat arrays make it trivial
     # ------------------------------------------------------------------
-    _SCALARS = ("n_kf", "n_mp", "n_bmp", "big_change_idx")
+    _SCALARS = ("n_kf", "n_mp", "n_bmp", "big_change_idx",
+                "correction_epoch")
 
     def save(self, path: str):
         arrays = {

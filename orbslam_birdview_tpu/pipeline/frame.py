@@ -32,7 +32,24 @@ class FrameData:
     kp_vo: Optional[np.ndarray] = None          # (K,) bool: has a VO point
     kp_vo_xyz: Optional[np.ndarray] = None      # (K,3) VO world positions
     n_vo_inliers: int = 0
-    pose_ok: bool = False
+    _pose_ok: bool = False
+    # lag-1 pipelining: while this frame is in flight, reading pose_ok
+    # synchronizes (finalizes the frame) so the per-frame API contract of
+    # the reference (`TrackMonocular` returns the pose) is preserved;
+    # callers that ignore the return value keep full pipelining
+    _finalize_cb: Optional[object] = None
+
+    @property
+    def pose_ok(self) -> bool:
+        if self._finalize_cb is not None:
+            cb = self._finalize_cb
+            self._finalize_cb = None
+            cb()
+        return self._pose_ok
+
+    @pose_ok.setter
+    def pose_ok(self, v: bool):
+        self._pose_ok = v
 
     @property
     def n_kp(self) -> int:

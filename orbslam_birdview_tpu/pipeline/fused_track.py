@@ -71,6 +71,12 @@ class BirdMapDevice(NamedTuple):
 class FusedOutput(NamedTuple):
     kp: Keypoints           # full frame keypoints (device; fetched lazily)
     summary: jnp.ndarray    # packed per-frame readback — ONE transfer
+    # device-resident pose chain for lag-1 pipelining: the next frame's
+    # step consumes these WITHOUT a host round trip
+    R: jnp.ndarray = None          # (3,3) final pose (device)
+    t: jnp.ndarray = None          # (3,)
+    R_pred_next: jnp.ndarray = None  # (3,3) motion-model prediction for t+1
+    t_pred_next: jnp.ndarray = None  # (3,)
     bird_kp: Optional[Keypoints] = None
     bird_base_xyz: Optional[jnp.ndarray] = None  # (Kb,3) base-frame points
 
@@ -116,7 +122,16 @@ def track_step_mono(
     radius_mult_motion: float = 6.0,   # motion_search_radius / 2.5
     radius_mult_local: float = 1.2,    # local_search_radius / 2.5
     min_widen: int = 20,
+    R_last=None,
+    t_last=None,
 ) -> FusedOutput:
+    """One fused tracking step. When (R_last, t_last) are given, the step
+    also emits the motion-model prediction for the NEXT frame
+    (vel·T_cur with vel = T_cur·T_last⁻¹, `Tracking::Track`
+    src/Tracking.cc:552-559) so consecutive frames chain on device with no
+    host round trip (lag-1 pipelining)."""
+    if img.dtype != jnp.float32:
+        img = img.astype(jnp.float32)
     kp = orb.extract_orb(img, cfg)
     P = lm.capacity
     n_levels = scale_factors.shape[0]
@@ -190,7 +205,22 @@ def track_step_mono(
         code,
         kp_slot.astype(jnp.float32),
     ])
-    return FusedOutput(kp=kp, summary=summary)
+    R_np, t_np = None, None
+    if R_last is not None:
+        # vel = T_cur · T_last⁻¹;  T_pred(next) = vel · T_cur
+        Rv = res2.R @ R_last.T
+        tv = res2.t - Rv @ t_last
+        R_np = Rv @ res2.R
+        t_np = Rv @ res2.t + tv
+        # re-orthonormalize: chained f32 rotation products drift off the
+        # manifold GEOMETRICALLY (measured doubling per frame, reaching
+        # 0.3 deviation within ~25 chained frames); two Newton iterations
+        # of the polar decomposition R ← 1.5R − 0.5·R·RᵀR restore
+        # orthonormality to f32 precision
+        for _ in range(2):
+            R_np = 1.5 * R_np - 0.5 * R_np @ (R_np.T @ R_np)
+    return FusedOutput(kp=kp, summary=summary, R=res2.R, t=res2.t,
+                       R_pred_next=R_np, t_pred_next=t_np)
 
 
 def unpack_summary(summary_np, P: int, K: int, Pb: int = 0, Kb: int = 0):

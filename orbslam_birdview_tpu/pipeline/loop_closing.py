@@ -456,6 +456,7 @@ class LoopCloser:
         self.last_loop_kf = kf
         self.n_loops_closed += 1
         store.big_change_idx += 1
+        store.correction_epoch += 1
 
         # ---- global BA (stoppable thread in the reference; synchronous) --
         self._global_ba(kf)

@@ -101,6 +101,9 @@ class Tracker:
         self._lm_change_idx = -1
         self._sf_dev = jnp.asarray(self.scale_factors)
         self._isig_dev = jnp.asarray(1.0 / self.level_sigma2)
+        # lag-1 pipeline state: one in-flight frame + device pose chain
+        self._pending = None
+        self._chain = None
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -168,6 +171,7 @@ class Tracker:
                 self._refresh_local_map()
             if self._lm_bundle is not None:
                 return self._process_fused(img, timestamp)
+        self.flush()
         fd = self.make_frame(img, timestamp, bird_img, bird_mask, depth_img)
         if self.state == NOT_INITIALIZED:
             self._try_initialize(fd)
@@ -246,60 +250,150 @@ class Tracker:
         self._lm_change_idx = store.big_change_idx
 
     def _process_fused(self, img, timestamp) -> FrameData:
+        """Lag-1 pipelined fused tracking: dispatch frame t on the
+        device-resident pose chain, THEN finalize frame t−1 — its summary
+        fetch overlaps frame t's device compute, so the steady-state frame
+        cost is one transfer leg instead of upload+compute+fetch
+        serialized. The one-frame finalization lag mirrors the reference's
+        mapping-thread lag (`src/System.cc:102-115`); any disruption
+        (keyframe, lost, loop correction) drains the pipeline
+        synchronously."""
         cfgt = self.cfg.tracking
         cam = self.cfg.camera
-        store = self.store
-        self._update_last_frame()
-        T_pred = self.velocity @ self.last_frame.Tcw()
+        if self._chain is None:
+            self._update_last_frame()
+            T_pred = self.velocity @ self.last_frame.Tcw()
+            if self._pending is not None:
+                # predicting 2 frames ahead of the last finalized pose
+                T_pred = self.velocity @ T_pred
+            R_pred = jnp.asarray(np.ascontiguousarray(T_pred[:3, :3]))
+            t_pred = jnp.asarray(np.ascontiguousarray(T_pred[:3, 3]))
+            R_last = jnp.asarray(self.last_frame.R)
+            t_last = jnp.asarray(self.last_frame.t)
+        else:
+            R_last, t_last, R_pred, t_pred = self._chain
+        if img.dtype != np.uint8:
+            # quantize the upload: 4x less host->device traffic, and real
+            # camera frames are u8 anyway
+            img = np.asarray(img, np.float32)
         out = fused_track.track_step_mono(
-            jnp.asarray(img, jnp.float32),
-            jnp.asarray(T_pred[:3, :3]), jnp.asarray(T_pred[:3, 3]),
+            img, R_pred, t_pred,
             self._lm_bundle, self._sf_dev, self._isig_dev, self.cfg.orb,
             float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
             int(cam.width), int(cam.height),
             radius_mult_motion=cfgt.motion_search_radius / 2.5,
             radius_mult_local=cfgt.local_search_radius / 2.5,
+            R_last=R_last, t_last=t_last,
         )
-        s = np.asarray(out.summary)        # the ONE blocking readback
-        P = self._lm_bundle.capacity
-        K = out.kp.capacity
-        info = fused_track.unpack_summary(s, P, K)
-        slot = info["kp_slot"]
-        kp_mp = np.where(slot >= 0, self._lm_ids[np.clip(slot, 0, P - 1)],
-                         INVALID).astype(np.int64)
         fd = FrameData(frame_id=self.frame_id, timestamp=timestamp,
-                       kp=out.kp, R=info["R"], t=info["t"], kp_mp=kp_mp)
+                       kp=out.kp, R=np.eye(3, dtype=np.float32),
+                       t=np.zeros(3, np.float32),
+                       kp_mp=np.full(out.kp.capacity, INVALID, np.int64))
+        fd._finalize_cb = self.flush
         self.frame_id += 1
-        slot_real = np.arange(P) < self._lm_n
-        np.add.at(store.mp_visible, self._lm_ids[info["visible"] & slot_real], 1)
-        np.add.at(store.mp_found, self._lm_ids[info["found"] & slot_real], 1)
-        thresh = (cfgt.min_localmap_inliers_after_reloc
-                  if fd.frame_id - self.last_reloc_frame_id < 30
-                  else cfgt.min_localmap_inliers)
-        n_inl = info["n_inliers"]
-        self._n_last_inliers = n_inl
-        ok = n_inl >= thresh
-        if not ok:
-            # fused path starved — classic fallback for this frame
-            # (`TrackReferenceKeyFrame` then local map, src/Tracking.cc:541-548)
+        snapshot = (self._lm_ids, self._lm_n, self._lm_bundle.capacity,
+                    self.store.correction_epoch)
+        disruption = self._finalize_pending()
+        self._pending = (fd, out, snapshot)
+        if disruption:
+            # frame t was dispatched against pre-disruption state. Its
+            # matches are still valid (the old bundle is a valid local map
+            # — exactly the reference's mapping-thread lag), but its pose
+            # chain predates the map update (local BA / bundle refresh), so
+            # the NEXT prediction must re-sync from the host
+            # (_update_last_frame's ref-KF-relative pose refresh).
+            self._chain = None
+        else:
+            self._chain = (out.R, out.t, out.R_pred_next, out.t_pred_next)
+        if not cfgt.fused_lag1:
+            if self._finalize_pending():
+                self._chain = None
+        return fd
+
+    def _finalize_pending(self, force_fallback: bool = False) -> bool:
+        """Finalize the oldest in-flight fused frame: fetch its summary,
+        run the state machine (fallbacks, keyframe policy), record the
+        trajectory. Returns True on any disruption that invalidates the
+        device pose chain."""
+        if self._pending is None:
+            return False
+        fd, out, (lm_ids, lm_n, P, epoch) = self._pending
+        self._pending = None
+        fd._finalize_cb = None
+        cfgt = self.cfg.tracking
+        store = self.store
+        disruption = False
+        stale = force_fallback or store.correction_epoch != epoch
+        ok = False
+        if self.state == LOST:
+            # a previous frame got lost after this one was dispatched —
+            # ignore the dispatch, relocalize (`Tracking::Track` LOST arm)
+            ok = self._relocalize(fd)
+            if ok:
+                ok = self._track_local_map(fd)
+            disruption = True
+        elif not stale:
+            s = np.asarray(out.summary)     # the ONE blocking readback
+            K = out.kp.capacity
+            info = fused_track.unpack_summary(s, P, K)
+            slot = info["kp_slot"]
+            fd.R, fd.t = info["R"], info["t"]
+            fd.kp_mp = np.where(slot >= 0, lm_ids[np.clip(slot, 0, P - 1)],
+                                INVALID).astype(np.int64)
+            # points culled since this frame was dispatched (lag-1)
+            culled = ~store.mp_valid[fd.kp_mp.clip(0)]
+            fd.kp_mp[culled] = INVALID
+            slot_real = np.arange(P) < lm_n
+            np.add.at(store.mp_visible,
+                      lm_ids[info["visible"] & slot_real], 1)
+            np.add.at(store.mp_found, lm_ids[info["found"] & slot_real], 1)
+            n_inl = info["n_inliers"]
+            self._n_last_inliers = n_inl
+            thresh = (cfgt.min_localmap_inliers_after_reloc
+                      if fd.frame_id - self.last_reloc_frame_id < 30
+                      else cfgt.min_localmap_inliers)
+            ok = (n_inl >= thresh
+                  and np.all(np.isfinite(fd.R)) and np.all(np.isfinite(fd.t)))
+        if not ok and self.state != LOST:
+            # starved or stale — classic fallback for this frame
+            # (`TrackReferenceKeyFrame` then local map, Tracking.cc:541-548)
+            self._update_last_frame()
             fd.kp_mp[:] = INVALID
             ok = self._track_reference_kf(fd)
             if ok:
                 ok = self._track_local_map(fd)
+            disruption = True
         if ok:
             self.state = OK
             fd.pose_ok = True
             self._update_velocity(fd)
-            if self._need_new_keyframe(fd):
+            # suppress the KF policy for the frame immediately after a
+            # keyframe: its tracked count was computed against the PRE-KF
+            # candidate bundle (lag-1), so the ref-ratio test would compare
+            # stale counts and mint degenerate tiny-baseline KF pairs
+            if (not self.only_tracking
+                    and fd.frame_id > self.last_kf_frame_id + 1
+                    and self._need_new_keyframe(fd)):
                 self._create_keyframe(fd)
+                disruption = True
         else:
             if self.store.kf_valid.sum() <= 5:
                 self.reset_requested = True
             self.state = LOST
             self.velocity = None
+            disruption = True
         self._record_trajectory(fd)
         self.last_frame = fd
-        return fd
+        if disruption:
+            self._chain = None
+        return disruption
+
+    def flush(self):
+        """Drain the lag-1 pipeline: finalize any in-flight frame. Call
+        before reading trajectories/state that must include every frame."""
+        while self._pending is not None:
+            self._finalize_pending()
+        self._chain = None
 
     # ------------------------------------------------------------------
     # initialization
