@@ -93,12 +93,6 @@ _BETA_IDX = {  # index of beta_ij in the 10-vector (i<=j)
 }
 
 
-def _betas_to_b10(betas):
-    out = []
-    for i in range(4):
-        for j in range(i, 4):
-            out.append(betas[i] * betas[j] * (1.0 if i == j else 1.0))
-    return jnp.stack(out)
 
 
 def _gn_betas(L, rho, betas, iters: int = 5):
@@ -117,10 +111,13 @@ def _gn_betas(L, rho, betas, iters: int = 5):
 
 
 def _b10_quad(b):
+    """β → 10-vector of products β_iβ_j (i≤j). The pair factor 2 for i≠j
+    lives in `_L_matrix`'s columns, NOT here — applying it in both places
+    quadruples the cross terms (caught by the 4-point minimal-set test)."""
     out = []
     for i in range(4):
         for j in range(i, 4):
-            out.append(b[i] * b[j] * (1.0 if i == j else 2.0))
+            out.append(b[i] * b[j])
     return jnp.stack(out)
 
 
@@ -175,21 +172,34 @@ def epnp(Xw, xy_norm, valid=None):
         err = jnp.mean(jnp.sum((proj - xy_norm) ** 2, 1))
         return err, R, t
 
-    # case N=1: beta1 from ||b1 v1|| matching rho scale
-    v1c = V[:, 0].reshape(4, 3)
-    num = jnp.sum(jnp.stack([
-        jnp.linalg.norm(v1c[a] - v1c[b]) * jnp.sqrt(r)
-        for (a, b), r in zip([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)],
-                             _rho(cw))]))
-    den = jnp.sum(jnp.stack([
-        jnp.sum((v1c[a] - v1c[b]) ** 2)
-        for a, b in [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]]))
-    b1 = num / jnp.maximum(den, 1e-12)
-    cases = [
-        jnp.array([b1, 0.0, 0.0, 0.0]),
-        jnp.array([b1, 0.1 * b1, 0.0, 0.0]),
-        jnp.array([b1, 0.1 * b1, 0.1 * b1, 0.0]),
-    ]
+    # β case seeds via constrained least squares on L·b10 = rho, exactly
+    # the reference's compute_betas_approx_{1,2,3}
+    # (`src/PnPsolver.cc:591-666`). L column order here is
+    # [b11,b12,b13,b14,b22,b23,b24,b33,b34,b44].
+    def lsq(cols):
+        A = L[:, jnp.asarray(cols)]
+        AtA = A.T @ A + 1e-10 * jnp.eye(len(cols), dtype=L.dtype)
+        return jnp.linalg.solve(AtA, A.T @ rho)
+
+    sqrt_abs = lambda x: jnp.sqrt(jnp.abs(x))
+    # N=1: columns b11,b12,b13,b14 → β1=√b11, βk=b1k/β1
+    b = lsq([0, 1, 2, 3])
+    b1 = sqrt_abs(b[0])
+    case1 = jnp.stack([b1, b[1] / jnp.maximum(b1, 1e-12),
+                       b[2] / jnp.maximum(b1, 1e-12),
+                       b[3] / jnp.maximum(b1, 1e-12)])
+    # N=2: columns b11,b12,b22
+    b = lsq([0, 1, 4])
+    b1 = sqrt_abs(b[0])
+    b2 = sqrt_abs(b[2]) * jnp.sign(b[1]) * jnp.sign(b[0])
+    case2 = jnp.stack([b1, b2, jnp.zeros(()), jnp.zeros(())])
+    # N=3: columns b11,b12,b22,b13,b23
+    b = lsq([0, 1, 4, 2, 5])
+    b1 = sqrt_abs(b[0])
+    b2 = sqrt_abs(b[2]) * jnp.sign(b[1]) * jnp.sign(b[0])
+    b3 = b[3] / jnp.maximum(b1, 1e-12)
+    case3 = jnp.stack([b1, b2, b3, jnp.zeros(())])
+    cases = [case1, case2, case3]
     errs, Rs, ts = [], [], []
     for c in cases:
         e, R, t = solve_case(c.astype(Xw.dtype))

@@ -1,15 +1,18 @@
 """Perspective-n-Point with batched RANSAC, for relocalization.
 
 The reference uses EPnP inside a serial RANSAC (`/root/reference/src/
-PnPsolver.cc`, `iterate` `:165-306`, per-octave chi2 gates `:67-110`). The
-TPU design scores hundreds of hypotheses at once; the minimal solver is a
-6-point DLT (SVD of a 2k x 12 system — one batched MXU-friendly SVD sweep
-instead of EPnP's control-point machinery), followed by an iterative
-Gauss-Newton polish on all inliers. Accuracy after polish matches EPnP;
-hypotheses are cheap because they are batched.
+PnPsolver.cc`, `iterate` `:165-306`, min-set 4 per `Tracking.cc:1947`,
+per-octave chi2 gates `:67-110`). The TPU design scores hundreds of
+hypotheses at once: the default hypothesis generator is batched EPnP on
+4-point minimal sets (`solvers/epnp.py` — control points, β cases,
+Gauss-Newton polish, Procrustes — all under vmap), matching the
+reference's minimal-set size and success probability per hypothesis. A
+6-point DLT generator (`solver="dlt"`) is kept as an alternative; both are
+followed by an iterative Gauss-Newton polish on all inliers.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -17,6 +20,7 @@ import jax.numpy as jnp
 
 from ..core import lie, linalg
 from . import ransac
+from .epnp import epnp
 
 
 @linalg.f32_matmul
@@ -97,6 +101,8 @@ class PnPResult(NamedTuple):
     n_inliers: jnp.ndarray
 
 
+@functools.partial(jax.jit, static_argnames=("n_hyp", "min_inliers",
+                                             "refine_iters", "solver"))
 @linalg.f32_matmul
 def pnp_ransac(
     key,
@@ -107,11 +113,19 @@ def pnp_ransac(
     n_hyp: int = 256,
     min_inliers: int = 10,
     refine_iters: int = 10,
+    solver: str = "epnp",
 ):
     """RANSAC PnP. chi2_per_point: per-point squared-normalized-coord gate
-    (the reference scales by octave sigma2, `PnPsolver.cc:67-110`)."""
-    idx, hyp_ok = ransac.sample_minimal_sets(key, valid, n_hyp, 6)
-    Rs, ts = jax.vmap(lambda i: pnp_dlt(Xw[i], xy_norm[i]))(idx)
+    (the reference scales by octave sigma2, `PnPsolver.cc:67-110`).
+
+    solver="epnp" (default): 4-point EPnP hypotheses, reference parity
+    (`PnPsolver::iterate`, min-set 4). solver="dlt": 6-point DLT."""
+    min_set = 4 if solver == "epnp" else 6
+    idx, hyp_ok = ransac.sample_minimal_sets(key, valid, n_hyp, min_set)
+    if solver == "epnp":
+        Rs, ts = jax.vmap(lambda i: epnp(Xw[i], xy_norm[i]))(idx)
+    else:
+        Rs, ts = jax.vmap(lambda i: pnp_dlt(Xw[i], xy_norm[i]))(idx)
 
     def inl_of(R, t):
         Xc = Xw @ R.T + t
