@@ -1,14 +1,19 @@
-"""Benchmark: SLAM tracking-step device work on one chip.
+"""Benchmark: TRUE end-to-end SLAM pipeline fps on one chip.
 
-Measures the per-frame device pipeline (ORB extraction at the reference's
-2000-feature fisheye budget + map-point projection matching + 4x10-iteration
-motion-only pose LM). To exclude host/tunnel dispatch overhead (the dev
-environment routes every call through a relay with ~29 ms RTT), N steps are
-chained inside ONE device-side lax.scan and timed with a scalar readback;
-per-step latency = total / N.
+Headline metric: wall-clock per frame of `System.track_monocular` over a
+300-frame synthetic sequence — INCLUDING all host orchestration, keyframe
+creation, local mapping (triangulation/fuse/culling), overlapped local BA,
+and loop-closing checks. This is the reference's acceptance measurement
+(`Examples/Monocular/mono_fisheye.cc:152-161`: per-frame ttrack, median +
+mean at exit). Compile frames (first occurrence of each program) are
+excluded the same way a warmed deployment would be.
 
-Baseline: the reference's real-time pacing target is ~30 fps on desktop CPU
-(BASELINE.md; TUM=30fps, fisheye=25fps). vs_baseline = fps / 30.
+Secondary: the pure device tracking-step microbenchmark (extraction +
+matching + pose LM chained in one lax.scan), reported as
+`device_step_fps` — the ceiling the host pipeline converges toward.
+
+Baseline: the reference's real-time pacing target is ~30 fps on desktop
+CPU (BASELINE.md; TUM=30fps, fisheye=25fps). vs_baseline = fps / 30.
 
 Prints ONE JSON line.
 """
@@ -18,7 +23,57 @@ import time
 import numpy as np
 
 
-def main():
+def pipeline_fps(n_frames: int = 300):
+    from orbslam_birdview_tpu.api.config import SlamConfig
+    from orbslam_birdview_tpu.api.system import System
+    from orbslam_birdview_tpu.core.camera import PinholeCamera
+    from orbslam_birdview_tpu.utils import synth
+
+    cam = PinholeCamera(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                        width=640, height=480)
+    cfg = SlamConfig(sensor="mono")
+    cfg.camera = cam
+    seq = synth.WallSequence(cam, n_frames=n_frames, step=0.015, push=0.002)
+    frames = []
+    gt = []
+    for i in range(n_frames):
+        img, pose = seq.frame(i)
+        # 8-bit, like a real camera (and 4x less host->device traffic)
+        frames.append(np.clip(img, 0, 255).astype(np.uint8))
+        gt.append(pose)
+
+    sys_ = System(cfg)
+    times = []
+    for i, img in enumerate(frames):
+        t0 = time.perf_counter()
+        sys_.track_monocular(img, i / 30.0)
+        times.append(time.perf_counter() - t0)
+    times = np.array(times)
+    med = float(np.median(times))
+    steady = times[times < 5 * med]   # drop compile frames
+    # trajectory sanity: a perf number from a diverged run is meaningless
+    est, gtp = [], []
+    for (ts, Tcw), (R_cw, t_cw) in zip(sys_._frame_poses(), gt):
+        if Tcw is None:
+            continue
+        est.append(-Tcw[:3, :3].T @ Tcw[:3, 3])
+        gtp.append(-R_cw.T @ t_cw)
+    ate = synth.ate_rmse(np.array(est), np.array(gtp), with_scale=True) \
+        if len(est) > 10 else float("nan")
+    return {
+        "fps": 1.0 / med,
+        "median_ms": med * 1e3,
+        "mean_ms": float(steady.mean()) * 1e3,
+        "p90_ms": float(np.percentile(steady, 90)) * 1e3,
+        "tracked_frames": len(est),
+        "n_frames": n_frames,
+        "keyframes": sys_.n_keyframes(),
+        "ate_rmse_m": float(ate),
+    }
+
+
+def device_step_fps():
+    """Pure device tracking-step scan (no host orchestration): the ceiling."""
     import jax
     import jax.numpy as jnp
 
@@ -42,10 +97,7 @@ def main():
     Xw = jnp.asarray(rng.uniform(-3, 3, (cap, 3)).astype(np.float32)
                      + np.array([0, 0, 8], np.float32))
     # realistic pose-LM workload: observations are the map points projected
-    # under a ground-truth pose with pixel noise and 20% gross outliers, so
-    # the optimizer converges the way it does on real frames (2-4 accepted
-    # steps per round, early-exit) instead of grinding all 40 iterations on
-    # unfittable random correspondences
+    # under a ground-truth pose with pixel noise and 20% gross outliers
     Xw_np = np.asarray(Xw)
     obs_np = np.stack([FX * Xw_np[:, 0] / Xw_np[:, 2] + CX,
                        FY * Xw_np[:, 1] / Xw_np[:, 2] + CY], -1)
@@ -53,9 +105,6 @@ def main():
     out_mask = rng.uniform(size=cap) < 0.2
     obs_np[out_mask] += rng.uniform(-80, 80, (int(out_mask.sum()), 2))
     obs_gt = jnp.asarray(obs_np.astype(np.float32))
-
-    # motion-model prediction error: every frame starts this far from its
-    # converged pose (~1.7 deg, ~6 cm — typical inter-frame delta at 30 fps)
     pred_err = jnp.asarray([0.03, 0.02, -0.03, 0.012, -0.018, 0.022],
                            jnp.float32)
 
@@ -71,7 +120,6 @@ def main():
         res = pose_opt.optimize_pose(
             R, t, Xw, obs_gt, jnp.ones(cap, jnp.float32), map_valid,
             FX, FY, CX, CY)
-        # fold the matcher output into the carry so it stays live
         tshift = res.t + 1e-12 * (jnp.sum(dist) + jnp.sum(idx).astype(
             jnp.float32))
         return (res.R, tshift), res.n_inliers
@@ -83,7 +131,6 @@ def main():
             jnp.arange(N_STEPS))
         return jnp.sum(ninl)
 
-    # compile + warm
     _ = float(np.asarray(run_steps()))
     times = []
     for _ in range(5):
@@ -99,12 +146,32 @@ def main():
         _ = float(np.asarray(triv()))
         rtts.append(time.perf_counter() - t0)
     step_s = max(np.median(times) - np.median(rtts), 1e-6) / N_STEPS
-    fps = 1.0 / step_s
+    return 1.0 / step_s
+
+
+def main():
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    pipe = pipeline_fps()
+    micro = device_step_fps()
     print(json.dumps({
-        "metric": "tracking_step_fps_1chip",
-        "value": round(fps, 2),
+        "metric": "pipeline_fps_1chip",
+        "value": round(pipe["fps"], 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(pipe["fps"] / 30.0, 3),
+        "median_ms": round(pipe["median_ms"], 2),
+        "mean_ms": round(pipe["mean_ms"], 2),
+        "p90_ms": round(pipe["p90_ms"], 2),
+        "n_frames": pipe["n_frames"],
+        "tracked_frames": pipe["tracked_frames"],
+        "keyframes": pipe["keyframes"],
+        "ate_rmse_m": round(pipe["ate_rmse_m"], 4),
+        "device_step_fps": round(micro, 1),
     }))
 
 

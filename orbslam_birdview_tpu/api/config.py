@@ -65,6 +65,8 @@ class MappingConfig:
     local_ba_fixed: int = 8
     local_ba_point_cap: int = 4096
     local_ba_edge_cap: int = 16384
+    fuse_point_cap: int = 4096      # landmark bucket for the batched fuse op
+    async_local_ba: bool = True     # overlap local BA with tracking frames
 
 
 @dataclass

@@ -69,9 +69,11 @@ class System:
         return fd
 
     def _flush(self):
-        """Drain the tracker's lag-1 pipeline so queries/exports see every
-        frame."""
+        """Drain the tracker's lag-1 pipeline and any overlapped local BA so
+        queries/exports see every frame against the settled map."""
         self.tracker.flush()
+        if self.mapper is not None:
+            self.mapper.drain_background()
 
     # ------------------------------------------------------------------
     # mode switches (System.h:84-90)

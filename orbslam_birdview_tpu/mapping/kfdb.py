@@ -196,15 +196,18 @@ def _host_weights(voc: Vocabulary) -> np.ndarray:
 
 def transform_sparse(voc: Vocabulary, kp: Keypoints):
     """Descriptor batch -> sparse L1-normalized tf-idf BoW (sorted unique
-    word ids, weights). Device vocabulary descent (batched Hamming argmax
-    per level, `vocab._descend`), sparsified on host — never materializes
-    the (n_words,) dense vector, so a 1M-word vocabulary costs nothing
-    extra."""
-    from .vocab import _descend
+    word ids, weights). Host-side vocabulary descent (`vocab.descend_np` —
+    batched BLAS gemv per level, ~1 ms for a keyframe; the device path
+    costs hundreds of ms of dispatch latency on the dev tunnel), sparsified
+    without ever materializing the (n_words,) dense vector, so a 1M-word
+    vocabulary costs nothing extra."""
+    from .vocab import descend_np
 
-    word, _ = _descend(voc, kp.desc_pm1)
-    words = np.asarray(word)
+    desc_u8 = np.asarray(kp.desc_u8)
     valid = np.asarray(kp.valid)
+    pm1 = (np.unpackbits(desc_u8, axis=-1, bitorder="little")
+           .astype(np.int8) * 2 - 1)
+    words = descend_np(voc, pm1)
     w = words[valid & (words >= 0)]
     if w.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.float32)

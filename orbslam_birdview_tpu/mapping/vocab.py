@@ -45,6 +45,41 @@ class Vocabulary(NamedTuple):
                           jnp.asarray(z["weights"]), k ** L)
 
 
+_host_centroid_cache: dict[int, np.ndarray] = {}
+
+
+def _centroids_np(voc: Vocabulary) -> np.ndarray:
+    key = id(voc.centroids)
+    c = _host_centroid_cache.get(key)
+    if c is None:
+        _host_centroid_cache.clear()  # one vocabulary per process in practice
+        c = np.asarray(voc.centroids, dtype=np.float32)
+        _host_centroid_cache[key] = c
+    return c
+
+
+def descend_np(voc: Vocabulary, desc_pm1_np: np.ndarray) -> np.ndarray:
+    """Host-side descriptor→word descent; (N,256) ±1 -> word ids (N,).
+
+    The device `_descend` runs its ops eagerly — on the dev tunnel each op
+    is a ~25 ms round trip, so a per-keyframe BoW transform cost >200 ms of
+    pure dispatch latency. For per-keyframe registration (≤2k descriptors ×
+    k≤10 children × L levels ≈ 5M MACs/level) host BLAS finishes in ~1 ms —
+    far below one tunnel round trip — and keeps the loop-closing stage off
+    the device queue entirely."""
+    k, L = voc.branching, voc.depth
+    N = desc_pm1_np.shape[0]
+    offsets = np.cumsum([0] + [k ** l for l in range(L)])
+    cents = _centroids_np(voc)            # (n_nodes, k, 256) f32
+    node = np.zeros(N, np.int32)
+    d = desc_pm1_np.astype(np.float32)[:, :, None]   # (N,256,1)
+    for l in range(L):
+        c = cents[offsets[l] + node]      # (N,k,256)
+        dots = np.matmul(c, d)[:, :, 0]   # (N,k) batched gemv
+        node = node * k + np.argmax(dots, 1).astype(np.int32)
+    return node
+
+
 def _kmajority(desc_pm1: np.ndarray, k: int, rng, iters: int = 8):
     """Binary k-means via bitwise majority; desc (N,256) ±1 int8."""
     N = desc_pm1.shape[0]

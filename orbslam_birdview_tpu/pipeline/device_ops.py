@@ -173,3 +173,57 @@ def epipolar_triangulate(
 @linalg.f32_matmul
 def transform_points(R, t, pts):
     return pts @ R.T + t
+
+
+@jax.jit
+def epipolar_triangulate_batch(
+    R1, t1, R2s, t2s, nb_ok, K,
+    kp1_xy, kp1_octave, kp1_free, desc1_u8,
+    kp2s_xy, kp2s_octave, kp2s_free, desc2s_u8,
+    level_sigma2,
+):
+    """All triangulation neighbors of one keyframe in ONE dispatch.
+
+    `LocalMapping::CreateNewMapPoints` visits each covisible neighbor in a
+    serial loop (`src/LocalMapping.cc:217-462`); on the TPU each visit was a
+    separate dispatch + blocking readback (one tunnel RTT each). vmapping the
+    per-neighbor kernel turns N neighbors into one device program and ONE
+    readback. Neighbor axis is padded to a fixed bucket (`nb_ok` masks the
+    padding) so the program compiles once. Descriptors come in packed u8
+    and unpack on device (keeps the upload 8x smaller and avoids separate
+    unpack dispatches)."""
+    desc1_pm1 = unpack_bits_to_pm1(desc1_u8)
+    desc2s_pm1 = unpack_bits_to_pm1(desc2s_u8)
+
+    def one(R2, t2, ok, kp2_xy, kp2_oct, kp2_free, desc2_pm1):
+        idx2, X, good = epipolar_triangulate(
+            R1, t1, R2, t2, K, kp1_xy, kp1_octave, kp1_free, desc1_pm1,
+            kp2_xy, kp2_oct, kp2_free & ok, desc2_pm1, level_sigma2)
+        return idx2, X, good & ok
+
+    return jax.vmap(one)(R2s, t2s, nb_ok, kp2s_xy, kp2s_octave,
+                         kp2s_free, desc2s_pm1)
+
+
+@jax.jit
+def fuse_project_batch(
+    R2s, t2s, nb_ok, mp_pos, mp_desc_u8,
+    kp2s_xy, kp2s_octave, kp2s_valid, desc2s_u8,
+    fx, fy, cx, cy, width, height, radius,
+):
+    """Project one keyframe's landmarks into ALL fuse neighbors in ONE
+    dispatch (`LocalMapping::SearchInNeighbors`, src/LocalMapping.cc:464-544
+    projects serially per neighbor). Returns (N, P) matched keypoint index
+    per neighbor, -1 where unmatched."""
+    desc2s_pm1 = unpack_bits_to_pm1(desc2s_u8)
+
+    def one(R, t, ok, kxy, koct, kval, kdesc):
+        uv, _, pok = project_points(R, t, mp_pos, fx, fy, cx, cy,
+                                    width, height)
+        idx, _ = match_projected(uv, pok & ok, mp_desc_u8, kxy, koct,
+                                 kval & ok, kdesc, radius, None,
+                                 max_dist_th=50)
+        return idx
+
+    return jax.vmap(one)(R2s, t2s, nb_ok, kp2s_xy, kp2s_octave,
+                         kp2s_valid, desc2s_pm1)

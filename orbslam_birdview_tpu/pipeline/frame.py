@@ -33,6 +33,10 @@ class FrameData:
     kp_vo_xyz: Optional[np.ndarray] = None      # (K,3) VO world positions
     n_vo_inliers: int = 0
     _pose_ok: bool = False
+    # background prefetch of the full keypoint arrays (kp lives on device
+    # for fused frames; a keyframe event consumes the prefetched copy
+    # instead of paying a blocking device->host round trip)
+    _kp_fetch: Optional[object] = None
     # lag-1 pipelining: while this frame is in flight, reading pose_ok
     # synchronizes (finalizes the frame) so the per-frame API contract of
     # the reference (`TrackMonocular` returns the pose) is preserved;

@@ -17,11 +17,11 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..api.config import SlamConfig
-from ..frontend.keypoints import unpack_bits_to_pm1
 from ..graph import ba, ba_large
 from ..mapping.mapstore import INVALID, MapStore
 from . import device_ops
@@ -41,19 +41,123 @@ class LocalMapper:
             np.float32,
         )
         self.loop_closer = None  # attached by System
+        self._ba_pending = None   # in-flight async local BA (finalize_ba)
+        self._gba_pending = None  # in-flight async global BA (finalize_gba)
+        self._gba_rounds_left = 0  # extra GBA rounds to dispatch on landing
+        self._kf_stage = None     # keyframe mapping pipeline stage
+
+    def poll_background(self) -> bool:
+        """Advance any overlapped work that has finished (keyframe mapping
+        stages, local BA, loop GBA); chain the next GBA round when one
+        lands. Called once per tracked frame — never blocks.
+
+        Returns True only when POSES moved (BA/GBA landed) — the tracker
+        invalidates its device pose chain on that. Stage advances that only
+        add/merge landmarks leave the chain valid; the tracker picks the
+        new points up through the big_change_idx bundle refresh."""
+        self._advance_kf_stage()
+        poses_moved = self.finalize_ba()
+        if self._gba_pending is not None:
+            if self.finalize_gba():
+                poses_moved = True
+                if self._gba_rounds_left > 0:
+                    self._gba_rounds_left -= 1
+                    self.global_ba(iters=self._gba_iters,
+                                   async_dispatch=True)
+        return poses_moved
+
+    def drain_background(self):
+        """Blocking drain: finish the keyframe stage pipeline, land local
+        BA, then every remaining GBA round."""
+        while self._kf_stage is not None:
+            self._advance_kf_stage(block=True)
+        self.finalize_ba(block=True)
+        while self._gba_pending is not None:
+            self.finalize_gba(block=True)
+            if self._gba_rounds_left > 0:
+                self._gba_rounds_left -= 1
+                self.global_ba(iters=self._gba_iters, async_dispatch=True)
+
+    _gba_iters = (5, 5)
 
     # ------------------------------------------------------------------
+    # keyframe processing as an overlapped stage pipeline
+    #
+    # The reference runs `LocalMapping::Run` on its own pthread
+    # (`src/System.cc:103`), so triangulation / fuse / local BA never stall
+    # the tracking thread. Here the same overlap comes from JAX's async
+    # dispatch: each stage launches its device program and a background D2H
+    # fetch, and the tracker's per-frame `poll_background` advances to the
+    # next stage when the fetch has landed. A keyframe event itself only
+    # pays for host bookkeeping + one dispatch.
+    # ------------------------------------------------------------------
     def process_keyframe(self, kf: int):
-        store = self.store
-        self._cull_recent_points(kf)
-        self._create_new_points(kf)
-        store.update_covisibility(kf)
-        self._fuse_neighbors(kf)
-        if store.kf_valid[: store.n_kf].sum() > 2:
-            self.local_ba(kf)
-        self._cull_keyframes(kf)
-        if self.loop_closer is not None:
-            self.loop_closer.process_keyframe(kf)
+        from ..utils.profiling import GLOBAL_TIMER as T
+
+        with T.stage("map.drain_prev"):
+            # finish the previous keyframe's stages before starting this one
+            # (the reference's mapping thread pops keyframes one at a time,
+            # LocalMapping.cc:47-122)
+            while self._kf_stage is not None:
+                self._advance_kf_stage(block=True)
+            self.finalize_ba(block=True)
+        with T.stage("map.cull_points"):
+            self._cull_recent_points(kf)
+        with T.stage("map.tri_dispatch"):
+            self._kf_stage = ("triangulate", kf,
+                              self._dispatch_triangulate(kf))
+        import os
+
+        if os.environ.get("ORB_SYNC_MAPPING"):
+            # debug fallback: run the whole keyframe path synchronously
+            # (no overlap with tracking) — for isolating pipeline effects
+            while self._kf_stage is not None:
+                self._advance_kf_stage(block=True)
+            self.finalize_ba(block=True)
+
+    def _advance_kf_stage(self, block: bool = False) -> bool:
+        """Advance the keyframe mapping pipeline by ready stages:
+        triangulate -> fuse -> {local BA dispatch, KF cull, loop closing}.
+        Returns True if the map changed."""
+        from ..utils.profiling import GLOBAL_TIMER as T
+
+        changed = False
+        while self._kf_stage is not None:
+            kind, kf, payload = self._kf_stage
+            if not self.store.kf_valid[kf]:
+                self._kf_stage = None
+                break
+            if kind == "triangulate":
+                if payload is not None:
+                    meta, fetch = payload
+                    if not block and not fetch.done():
+                        return changed
+                    with T.stage("map.tri_apply"):
+                        self._apply_triangulate(kf, meta, fetch.get())
+                        changed = True
+                self.store.update_covisibility(kf)
+                with T.stage("map.fuse_dispatch"):
+                    self._kf_stage = ("fuse", kf, self._dispatch_fuse(kf))
+            elif kind == "fuse":
+                if payload is not None:
+                    meta, fetch = payload
+                    if not block and not fetch.done():
+                        return changed
+                    with T.stage("map.fuse_apply"):
+                        self._apply_fuse(kf, meta, fetch.get())
+                        changed = True
+                store = self.store
+                if store.kf_valid[: store.n_kf].sum() > 2:
+                    with T.stage("map.ba_dispatch"):
+                        self.local_ba(kf, async_dispatch=True)
+                with T.stage("map.kf_cull"):
+                    self._cull_keyframes(kf)
+                if self.loop_closer is not None:
+                    with T.stage("map.loop"):
+                        self.loop_closer.process_keyframe(kf)
+                        changed = True
+                self._kf_stage = None
+        return changed
 
     # ------------------------------------------------------------------
     def _cull_recent_points(self, kf: int):
@@ -78,52 +182,81 @@ class LocalMapper:
         self.recent_mp = keep
 
     # ------------------------------------------------------------------
-    def _create_new_points(self, kf: int):
+    def _dispatch_triangulate(self, kf: int):
+        """CreateNewMapPoints, dispatch half: ONE device program covering
+        every triangulation neighbor + a background D2H fetch."""
         store = self.store
         cfg = self.cfg
-        neighbors = store.covisible_kfs(
-            kf, min_weight=15, top_n=cfg.mapping.triangulation_neighbors)
+        n_pad = cfg.mapping.triangulation_neighbors
+        neighbors = store.covisible_kfs(kf, min_weight=15, top_n=n_pad)
         if len(neighbors) == 0:
-            return
+            return None
+        c1 = store.kf_center(kf)
+        # host-side baseline-vs-depth gate (LocalMapping.cc:254-270)
+        good = [nb for nb in neighbors
+                if (md := self._median_depth(nb)) > 0
+                and np.linalg.norm(store.kf_center(nb) - c1) / md >= 0.01]
+        if not good:
+            return None
         K = jnp.asarray(cfg.camera.K)
         free1 = store.kf_kp_valid[kf] & (store.kf_kp_mp[kf] < 0)
-        desc1 = unpack_bits_to_pm1(jnp.asarray(store.kf_desc[kf]))
-        c1 = store.kf_center(kf)
-        for nb in neighbors:
-            # require sufficient baseline vs scene depth (LocalMapping.cc:254-270)
-            baseline = np.linalg.norm(store.kf_center(nb) - c1)
-            med_depth = self._median_depth(nb)
-            if med_depth <= 0 or baseline / med_depth < 0.01:
+        # all neighbors in ONE dispatch: pad the neighbor axis to the
+        # config bucket so the program compiles once, mask the padding
+        nbs = np.asarray(good + [good[-1]] * (n_pad - len(good)), np.int64)
+        nb_ok = np.zeros(n_pad, bool)
+        nb_ok[: len(good)] = True
+        free2 = (store.kf_kp_valid[nbs] & (store.kf_kp_mp[nbs] < 0))
+        out = device_ops.epipolar_triangulate_batch(
+            jnp.asarray(store.kf_R[kf]), jnp.asarray(store.kf_t[kf]),
+            jnp.asarray(store.kf_R[nbs]), jnp.asarray(store.kf_t[nbs]),
+            jnp.asarray(nb_ok), K,
+            jnp.asarray(store.kf_kp_xy[kf]),
+            jnp.asarray(store.kf_kp_octave[kf]),
+            jnp.asarray(free1), jnp.asarray(store.kf_desc[kf]),
+            jnp.asarray(store.kf_kp_xy[nbs]),
+            jnp.asarray(store.kf_kp_octave[nbs]),
+            jnp.asarray(free2), jnp.asarray(store.kf_desc[nbs]),
+            jnp.asarray(self.level_sigma2),
+        )
+        from ..utils.async_fetch import BackgroundFetch
+
+        return (good, free1), BackgroundFetch(out)
+
+    def _apply_triangulate(self, kf: int, meta, fetched):
+        """CreateNewMapPoints, apply half: allocate the accepted points."""
+        store = self.store
+        good, free1 = meta
+        idx2, X, ok = fetched
+        new_ids: list[int] = []
+        for j, nb in enumerate(good):
+            # every neighbor matched against the same initial free set; a
+            # keypoint triangulated vs an earlier neighbor keeps that match
+            k1 = np.nonzero(ok[j] & free1)[0]
+            if len(k1) == 0 or not store.kf_valid[nb]:
                 continue
-            free2 = store.kf_kp_valid[nb] & (store.kf_kp_mp[nb] < 0)
-            desc2 = unpack_bits_to_pm1(jnp.asarray(store.kf_desc[nb]))
-            idx2, X, ok = device_ops.epipolar_triangulate(
-                jnp.asarray(store.kf_R[kf]), jnp.asarray(store.kf_t[kf]),
-                jnp.asarray(store.kf_R[nb]), jnp.asarray(store.kf_t[nb]), K,
-                jnp.asarray(store.kf_kp_xy[kf]),
-                jnp.asarray(store.kf_kp_octave[kf]),
-                jnp.asarray(free1), desc1,
-                jnp.asarray(store.kf_kp_xy[nb]),
-                jnp.asarray(store.kf_kp_octave[nb]),
-                jnp.asarray(free2), desc2,
-                jnp.asarray(self.level_sigma2),
-            )
-            ok = np.asarray(ok)
-            idx2 = np.asarray(idx2)
-            X = np.asarray(X)
-            k1 = np.nonzero(ok)[0]
-            if len(k1) == 0:
-                continue
-            k2 = idx2[k1]
+            k2 = idx2[j][k1]
             descs = store.kf_desc[kf][k1]
-            ids = store.alloc_points(X[k1].astype(np.float32), descs, kf,
+            ids = store.alloc_points(X[j][k1].astype(np.float32), descs, kf,
                                      int(store.kf_frame_id[kf]))
             store.add_observations(kf, k1, ids)
             store.add_observations(nb, k2, ids)
             free1[k1] = False
             self.recent_mp.extend((int(i), kf) for i in ids)
-            store.update_point_stats(ids, self.scale_factors)
-        store.update_covisibility(kf)
+            new_ids.extend(int(i) for i in ids)
+        if new_ids:
+            store.update_point_stats(np.asarray(new_ids, np.int64),
+                                     self.scale_factors)
+            # fresh landmarks should enter the tracker's candidate bundle on
+            # the next frame, not only when the local BA lands
+            store.big_change_idx += 1
+
+    def _create_new_points(self, kf: int):
+        """Synchronous triangulation (tests / non-pipelined callers)."""
+        payload = self._dispatch_triangulate(kf)
+        if payload is not None:
+            meta, fetch = payload
+            self._apply_triangulate(kf, meta, fetch.get())
+        self.store.update_covisibility(kf)
 
     def _median_depth(self, kf: int) -> float:
         store = self.store
@@ -136,35 +269,62 @@ class LocalMapper:
         return float(np.median(Xc[:, 2]))
 
     # ------------------------------------------------------------------
-    def _fuse_neighbors(self, kf: int):
-        """SearchInNeighbors: project kf's points into neighbors; merge
-        duplicates (keep the better-observed landmark)."""
+    def _dispatch_fuse(self, kf: int):
+        """SearchInNeighbors, dispatch half: project kf's points into ALL
+        fuse neighbors in one device program + background fetch."""
         store = self.store
         cam = self.cfg.camera
         neighbors = store.covisible_kfs(kf, min_weight=15, top_n=10)
         mp = store.kf_kp_mp[kf]
         ids = np.unique(mp[mp >= 0])
         ids = ids[store.mp_valid[ids]]
-        if len(ids) == 0:
-            return
-        for nb in neighbors:
-            uv, z, ok = device_ops.project_points(
-                jnp.asarray(store.kf_R[nb]), jnp.asarray(store.kf_t[nb]),
-                jnp.asarray(store.mp_pos[ids]),
-                cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height)
-            idx, dist = device_ops.match_projected(
-                uv, ok, jnp.asarray(store.mp_desc[ids]),
-                jnp.asarray(store.kf_kp_xy[nb]),
-                jnp.asarray(store.kf_kp_octave[nb]),
-                jnp.asarray(store.kf_kp_valid[nb]),
-                unpack_bits_to_pm1(jnp.asarray(store.kf_desc[nb])),
-                jnp.full(ids.shape, 3.0, jnp.float32), None,
-                max_dist_th=50,
-            )
-            idx = np.asarray(idx)
-            found = np.nonzero(idx >= 0)[0]
+        if len(ids) == 0 or len(neighbors) == 0:
+            return None
+        # fixed-capacity landmark axis (compile once) + padded neighbor axis:
+        # ONE dispatch and ONE readback for the whole fuse pass
+        P = self.cfg.mapping.fuse_point_cap
+        if len(ids) > P:
+            order = np.argsort(-store.mp_n_obs[ids], kind="stable")
+            ids = np.sort(ids[order[:P]])
+        ids_p = np.pad(ids, (0, P - len(ids)))
+        pvalid = np.zeros(P, bool)
+        pvalid[: len(ids)] = True
+        pos = np.where(pvalid[:, None], store.mp_pos[ids_p], 1e9)
+        n_pad = 10
+        nbs = np.asarray(
+            list(neighbors) + [neighbors[-1]] * (n_pad - len(neighbors)),
+            np.int64)
+        nb_ok = np.zeros(n_pad, bool)
+        nb_ok[: len(neighbors)] = True
+        out = device_ops.fuse_project_batch(
+            jnp.asarray(store.kf_R[nbs]), jnp.asarray(store.kf_t[nbs]),
+            jnp.asarray(nb_ok),
+            jnp.asarray(pos.astype(np.float32)),
+            jnp.asarray(store.mp_desc[ids_p]),
+            jnp.asarray(store.kf_kp_xy[nbs]),
+            jnp.asarray(store.kf_kp_octave[nbs]),
+            jnp.asarray(store.kf_kp_valid[nbs]),
+            jnp.asarray(store.kf_desc[nbs]),
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+            jnp.full(P, 3.0, jnp.float32))
+        from ..utils.async_fetch import BackgroundFetch
+
+        return (neighbors, ids, pvalid), BackgroundFetch(out)
+
+    def _apply_fuse(self, kf: int, meta, idx_all):
+        """SearchInNeighbors, apply half: merge duplicate landmarks (keep
+        the better-observed one)."""
+        store = self.store
+        neighbors, ids, pvalid = meta
+        for j, nb in enumerate(neighbors):
+            if not store.kf_valid[nb]:
+                continue  # culled while the fuse batch was in flight
+            idx = idx_all[j]
+            found = np.nonzero((idx >= 0) & pvalid)[0]
             for fi in found:
                 mp_id = int(ids[fi])
+                if not store.mp_valid[mp_id]:
+                    continue  # merged away by an earlier neighbor's fuse
                 tgt_kp = int(idx[fi])
                 existing = store.kf_kp_mp[nb, tgt_kp]
                 if existing == mp_id:
@@ -318,7 +478,13 @@ class LocalMapper:
                 jnp.asarray(points), jnp.asarray(pvalid),
                 mono_es, stereo_es, bird_es, mp_ids, bmp_ids, n_mp, n_bmp)
 
-    def local_ba(self, kf: int, iters=(5, 10)):
+    def local_ba(self, kf: int, iters=(5, 10), async_dispatch: bool = False):
+        """Dispatch the local BA. With `async_dispatch` the device program is
+        launched but NOT read back — tracking frames overlap its compute and
+        `finalize_ba` lands the result when it is ready (the reference runs
+        local BA on the mapping thread while tracking continues,
+        `src/System.cc:102-115`; this is the same overlap without threads:
+        JAX dispatch is already asynchronous)."""
         store = self.store
         cfg = self.cfg.mapping
         cam = self.cfg.camera
@@ -344,16 +510,70 @@ class LocalMapper:
             cam.fx, cam.fy, cam.cx, cam.cy, bf=cam.bf,
             iters_phase1=iters[0], iters_phase2=iters[1],
         )
-        # write back
+        pend = dict(res=res, window=window, all_kfs=all_kfs,
+                    mono_es=mono_es, mp_ids=mp_ids, bmp_ids=bmp_ids,
+                    n_mp=n_mp, n_bmp=n_bmp,
+                    epoch=store.correction_epoch)
+        if async_dispatch and cfg.async_local_ba:
+            self._ba_pending = pend
+        else:
+            self._ba_pending = pend
+            self.finalize_ba(block=True)
+
+    def finalize_ba(self, block: bool = False) -> bool:
+        """Land an in-flight local BA: write poses/points back to the store
+        and erase outlier observations. Non-blocking unless `block` — the
+        tracker polls this once per frame so the writeback happens the
+        moment the device finishes, never stalling the frame path. Returns
+        True when a writeback happened (callers invalidate device pose
+        chains / candidate bundles)."""
+        pend = self._ba_pending
+        if pend is None:
+            return False
+        res = pend["res"]
+        fetch = pend.get("fetch")
+        if fetch is None:
+            if not block:
+                is_ready = getattr(res.cam_R, "is_ready", None)
+                if is_ready is not None and not is_ready():
+                    return False
+                # compute done — start the D2H transfer on a worker thread
+                # and land the result on a later poll, so no tracked frame
+                # ever blocks on this fetch
+                from ..utils.async_fetch import BackgroundFetch
+
+                pend["fetch"] = BackgroundFetch(
+                    (res.cam_R, res.cam_t, res.points, res.inl_mono))
+                return False
+            arrays = jax.device_get(
+                (res.cam_R, res.cam_t, res.points, res.inl_mono))
+        else:
+            if not block and not fetch.done():
+                return False
+            arrays = fetch.get()
+        self._ba_pending = None
+        store = self.store
+        if store.correction_epoch != pend["epoch"]:
+            # a loop correction rewrote the map while this BA was in flight —
+            # its result is stale; drop it (the reference aborts local BA on
+            # loop closure via mbAbortBA, `src/LocalMapping.cc:84-91`)
+            return False
+        window, all_kfs = pend["window"], pend["all_kfs"]
+        mp_ids, bmp_ids = pend["mp_ids"], pend["bmp_ids"]
+        n_mp, n_bmp = pend["n_mp"], pend["n_bmp"]
+        mono_es = pend["mono_es"]
+        camR_np, camt_np, pts_out, inl = arrays
         nw = len(window)
-        store.kf_R[window] = np.asarray(res.cam_R[:nw])
-        store.kf_t[window] = np.asarray(res.cam_t[:nw])
-        pts_out = np.asarray(res.points)
-        store.mp_pos[mp_ids] = pts_out[:n_mp]
+        live = store.kf_valid[window]   # culled while BA was in flight
+        store.kf_R[window[live]] = camR_np[:nw][live]
+        store.kf_t[window[live]] = camt_np[:nw][live]
+        mp_live = store.mp_valid[mp_ids]
+        store.mp_pos[mp_ids[mp_live]] = pts_out[:n_mp][mp_live]
         if n_bmp:
-            store.bmp_pos[bmp_ids] = pts_out[n_mp : n_mp + n_bmp]
+            b_live = store.bmp_valid[bmp_ids]
+            store.bmp_pos[bmp_ids[b_live]] = \
+                pts_out[n_mp : n_mp + n_bmp][b_live]
         # erase outlier observations (mono edges only — like the reference)
-        inl = np.asarray(res.inl_mono)
         ecam = np.asarray(mono_es.cam)
         ept = np.asarray(mono_es.pt)
         evalid = np.asarray(mono_es.valid)
@@ -361,11 +581,12 @@ class LocalMapper:
         for i in np.nonzero(bad)[0]:
             k = int(all_kfs[ecam[i]])
             mp_id = int(mp_ids[ept[i]]) if ept[i] < n_mp else -1
-            if mp_id >= 0:
+            if mp_id >= 0 and store.mp_valid[mp_id] and store.kf_valid[k]:
                 kps = np.nonzero(store.kf_kp_mp[k] == mp_id)[0]
                 if len(kps):
                     store.remove_observation(k, kps)
         store.big_change_idx += 1
+        return True
 
     # ------------------------------------------------------------------
     def initial_global_ba(self, kf1: int, kf2: int, iters: int = 20):
@@ -391,10 +612,17 @@ class LocalMapper:
             store.bmp_pos[bmp_ids] = pts_out[n_mp : n_mp + n_bmp]
 
     # ------------------------------------------------------------------
-    def global_ba(self, iters=(5, 5)):
+    def global_ba(self, iters=(5, 5), async_dispatch: bool = False):
         """Full-map BA: ALL keyframes and landmarks, only KF0 fixed
         (`GlobalBundleAdjustemntWithBirdview`, OptimizerBirdview.cc:24-297).
-        Shapes are bucketed to powers of two to bound recompiles."""
+        Shapes are bucketed to powers of two to bound recompiles.
+
+        With `async_dispatch` the solve is launched and `finalize_gba` lands
+        it later — tracking frames keep flowing while the device grinds the
+        full map, exactly the reference's detached GBA thread
+        (`LoopClosing::RunGlobalBundleAdjustment`, src/LoopClosing.cc:645-758);
+        keyframes/points created meanwhile are corrected by spanning-tree
+        propagation at landing time (`:665-748`)."""
         store = self.store
         cam = self.cfg.camera
         valid = store.valid_kf_ids()
@@ -448,8 +676,7 @@ class LocalMapper:
                 get("mono"), get("stereo"), get("bird"),
                 cam.fx, cam.fy, cam.cx, cam.cy, bf=cam.bf,
                 iters_phase1=iters[0], iters_phase2=iters[1])
-            camR_out, camt_out = np.asarray(R_s), np.asarray(t_s)
-            pts_out = np.asarray(X_s)
+            dev_R, dev_t, dev_X = R_s, t_s, X_s
         else:
             # solver selection: the dense-W Schur path materializes a
             # (C,6,P,3) coupling tensor — one MXU matmul, optimal for small
@@ -464,15 +691,101 @@ class LocalMapper:
                 cam.fx, cam.fy, cam.cx, cam.cy, bf=cam.bf,
                 iters_phase1=iters[0], iters_phase2=iters[1],
             )
-            camR_out, camt_out = np.asarray(res.cam_R), np.asarray(res.cam_t)
-            pts_out = np.asarray(res.points)
+            dev_R, dev_t, dev_X = res.cam_R, res.cam_t, res.points
+        pend = dict(dev_R=dev_R, dev_t=dev_t, dev_X=dev_X,
+                    window=window, mp_ids=mp_ids, bmp_ids=bmp_ids,
+                    n_mp=n_mp, n_bmp=n_bmp,
+                    n_kf_snap=store.n_kf, n_mp_snap=store.n_mp,
+                    n_bmp_snap=store.n_bmp,
+                    epoch=store.correction_epoch)
+        self._gba_pending = pend
+        if not async_dispatch:
+            self.finalize_gba(block=True)
+
+    def finalize_gba(self, block: bool = False) -> bool:
+        """Land an in-flight global BA. Keyframes and landmarks created
+        while it ran (they are not in the solve) are corrected by
+        spanning-tree / reference-KF propagation — the reference's
+        `RunGlobalBundleAdjustment` tail (src/LoopClosing.cc:665-748).
+        Returns True when a writeback happened."""
+        pend = self._gba_pending
+        if pend is None:
+            return False
+        fetch = pend.get("fetch")
+        if fetch is None:
+            if not block:
+                is_ready = getattr(pend["dev_R"], "is_ready", None)
+                if is_ready is not None and not is_ready():
+                    return False
+                from ..utils.async_fetch import BackgroundFetch
+
+                pend["fetch"] = BackgroundFetch(
+                    (pend["dev_R"], pend["dev_t"], pend["dev_X"]))
+                return False
+            arrays = jax.device_get(
+                (pend["dev_R"], pend["dev_t"], pend["dev_X"]))
+        else:
+            if not block and not fetch.done():
+                return False
+            arrays = fetch.get()
+        self._gba_pending = None
+        store = self.store
+        if store.correction_epoch != pend["epoch"]:
+            return False    # a newer loop correction superseded this GBA
+        camR_out, camt_out, pts_out = arrays
+        window, mp_ids, bmp_ids = \
+            pend["window"], pend["mp_ids"], pend["bmp_ids"]
+        n_mp, n_bmp = pend["n_mp"], pend["n_bmp"]
+        # old poses of every KF alive now, for relative-pose propagation
+        old_R = store.kf_R[: store.n_kf].copy()
+        old_t = store.kf_t[: store.n_kf].copy()
+        in_gba = np.zeros(store.n_kf, bool)
+        in_gba[window[window < store.n_kf]] = True
         nw = len(window)
-        store.kf_R[window] = camR_out[:nw]
-        store.kf_t[window] = camt_out[:nw]
-        store.mp_pos[mp_ids] = pts_out[:n_mp]
+        live = store.kf_valid[window]
+        store.kf_R[window[live]] = camR_out[:nw][live]
+        store.kf_t[window[live]] = camt_out[:nw][live]
+        mp_live = store.mp_valid[mp_ids]
+        store.mp_pos[mp_ids[mp_live]] = pts_out[:n_mp][mp_live]
         if n_bmp:
-            store.bmp_pos[bmp_ids] = pts_out[n_mp : n_mp + n_bmp]
+            b_live = store.bmp_valid[bmp_ids]
+            store.bmp_pos[bmp_ids[b_live]] = \
+                pts_out[n_mp : n_mp + n_bmp][b_live]
+        # --- propagate to keyframes created after dispatch (id order ⇒
+        # each one's spanning-tree parent is already corrected) ----------
+        corrected = in_gba.copy()
+        for k in range(pend["n_kf_snap"], store.n_kf):
+            if not store.kf_valid[k]:
+                continue
+            p = int(store.kf_parent[k])
+            if p < 0 or p >= store.n_kf or not corrected[p]:
+                continue
+            # T_new(k) = T_old(k) · T_old(p)⁻¹ · T_new(p)
+            R_rel = old_R[k] @ old_R[p].T
+            t_rel = old_t[k] - R_rel @ old_t[p]
+            store.kf_R[k] = (R_rel @ store.kf_R[p]).astype(np.float32)
+            store.kf_t[k] = (R_rel @ store.kf_t[p] + t_rel
+                             ).astype(np.float32)
+            corrected[k] = True
+        # --- propagate points created after dispatch via their ref KF ---
+        for ids_new, pos, valid, ref in (
+            (np.arange(pend["n_mp_snap"], store.n_mp), store.mp_pos,
+             store.mp_valid, store.mp_ref_kf),
+            (np.arange(pend["n_bmp_snap"], store.n_bmp), store.bmp_pos,
+             store.bmp_valid, None),
+        ):
+            if ref is None or len(ids_new) == 0:
+                continue
+            ids_new = ids_new[valid[ids_new]]
+            refs = ref[ids_new]
+            ok = (refs >= 0) & (refs < store.n_kf) & corrected[refs.clip(0)]
+            for i, r in zip(ids_new[ok], refs[ok]):
+                r = int(r)
+                Xc = old_R[r] @ pos[i] + old_t[r]
+                pos[i] = (store.kf_R[r].T @ (Xc - store.kf_t[r])
+                          ).astype(np.float32)
         store.big_change_idx += 1
+        return True
 
     # ------------------------------------------------------------------
     def _cull_keyframes(self, kf: int):

@@ -81,14 +81,16 @@ class LoopCloser:
 
         store = self.store
         u8 = store.kf_desc[kf]
+        # pure host arrays — BoW registration never touches the device
         return Keypoints(
-            xy=jnp.asarray(store.kf_kp_xy[kf]),
-            response=jnp.zeros(u8.shape[0]),
-            angle=jnp.asarray(store.kf_kp_angle[kf]),
-            octave=jnp.asarray(store.kf_kp_octave[kf]),
-            valid=jnp.asarray(store.kf_kp_valid[kf]),
-            desc_u8=jnp.asarray(u8),
-            desc_pm1=np.asarray(unpack_bits_to_pm1(jnp.asarray(u8))),
+            xy=store.kf_kp_xy[kf],
+            response=np.zeros(u8.shape[0], np.float32),
+            angle=store.kf_kp_angle[kf],
+            octave=store.kf_kp_octave[kf],
+            valid=store.kf_kp_valid[kf],
+            desc_u8=u8,
+            desc_pm1=(np.unpackbits(u8, axis=-1, bitorder="little")
+                      .astype(np.int8) * 2 - 1),
         )
 
     def _maybe_bootstrap_vocab(self):
@@ -288,6 +290,13 @@ class LoopCloser:
     # ------------------------------------------------------------------
     def _correct_loop(self, kf: int, cand: int, S, loop_points):
         store = self.store
+        # abort overlapped optimizations computed against the pre-loop map
+        # (the reference sets mbStopGBA / aborts local BA before correcting,
+        # LoopClosing.cc:402-440); the epoch bump below would discard them
+        # at landing anyway — dropping now frees the device queue
+        self.mapper._ba_pending = None
+        self.mapper._gba_pending = None
+        self.mapper._gba_rounds_left = 0
         Rl, tl, sl = S  # S_cur_cand: maps cand-camera into cur-camera (Sim3)
         # corrected Sim3 world→cur
         Scw = _sim3_mul(Rl, tl, sl, store.kf_R[cand], store.kf_t[cand], 1.0)
@@ -458,7 +467,8 @@ class LoopCloser:
         store.big_change_idx += 1
         store.correction_epoch += 1
 
-        # ---- global BA (stoppable thread in the reference; synchronous) --
+        # ---- global BA: dispatched async, overlapped with tracking (the
+        # reference's detached stoppable GBA thread, LoopClosing.cc:645) --
         self._global_ba(kf)
 
     def _fuse_loop_points(self, kf: int, loop_points):
@@ -505,5 +515,6 @@ class LoopCloser:
         in a local minimum; two rounds converge (measured on the circular
         loop-closure scenario: ATE 0.22 after one round, 0.011 after two)."""
         half = (iters // 2, iters - iters // 2)
-        self.mapper.global_ba(iters=half)
-        self.mapper.global_ba(iters=half)
+        self.mapper._gba_iters = half
+        self.mapper._gba_rounds_left = 1        # second round chained on landing
+        self.mapper.global_ba(iters=half, async_dispatch=True)

@@ -17,6 +17,7 @@ The reference's LocalMapping thread is invoked synchronously per keyframe
 """
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from typing import Optional
 
@@ -37,6 +38,32 @@ from .frame import FrameData
 NOT_INITIALIZED = 0
 OK = 1
 LOST = 2
+
+
+class _SummaryFetch:
+    """Device->host fetch running on a worker thread. np.asarray releases
+    the GIL while it waits on device compute and the D2H transfer, so the
+    fetch overlaps the next frame's host work; `get()` joins and returns
+    the landed numpy array."""
+
+    def __init__(self, arr):
+        self._val = None
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, args=(arr,),
+                                        daemon=True)
+        self._thread.start()
+
+    def _run(self, arr):
+        try:
+            self._val = np.asarray(arr)
+        except BaseException as e:  # surfaced on get()
+            self._err = e
+
+    def get(self) -> np.ndarray:
+        self._thread.join()
+        if self._err is not None:
+            raise self._err
+        return self._val
 
 
 @dataclass
@@ -161,6 +188,11 @@ class Tracker:
     # ------------------------------------------------------------------
     def process(self, img, timestamp, bird_img=None, bird_mask=None,
                 depth_img=None) -> FrameData:
+        if self.mapper is not None and self.mapper.poll_background():
+            # an overlapped local BA just landed: poses/points moved, so the
+            # device pose chain and candidate bundle are stale (the bundle
+            # refresh is triggered by the big_change_idx bump below)
+            self._chain = None
         if (self.cfg.tracking.fused_tracking and self.state == OK
                 and self.velocity is not None and not self.only_tracking
                 and bird_img is None and depth_img is None
@@ -262,39 +294,66 @@ class Tracker:
         cam = self.cfg.camera
         if self._chain is None:
             self._update_last_frame()
-            T_pred = self.velocity @ self.last_frame.Tcw()
+            T_last = self.last_frame.Tcw()
             if self._pending is not None:
-                # predicting 2 frames ahead of the last finalized pose
-                T_pred = self.velocity @ T_pred
+                # the last FINALIZED frame is t−2 (t−1 is still in flight):
+                # advance its pose by one velocity step so the device-side
+                # motion model (vel = T_cur·T_last⁻¹) spans ONE frame, not
+                # two — passing the t−2 pose directly makes every post-reset
+                # prediction overshoot by a full frame step, and with the
+                # overlapped mapping landing results every few frames the
+                # recurring overshoot compounds into tracking collapse
+                # (measured: alternating 1.5°→2.7°→4.7° pose error, then
+                # inliers 790→300→140 on the 300-frame wall bench)
+                T_last = self.velocity @ T_last
+            T_pred = self.velocity @ T_last
             R_pred = jnp.asarray(np.ascontiguousarray(T_pred[:3, :3]))
             t_pred = jnp.asarray(np.ascontiguousarray(T_pred[:3, 3]))
-            R_last = jnp.asarray(self.last_frame.R)
-            t_last = jnp.asarray(self.last_frame.t)
+            R_last = jnp.asarray(np.ascontiguousarray(T_last[:3, :3]))
+            t_last = jnp.asarray(np.ascontiguousarray(T_last[:3, 3]))
         else:
             R_last, t_last, R_pred, t_pred = self._chain
         if img.dtype != np.uint8:
             # quantize the upload: 4x less host->device traffic, and real
             # camera frames are u8 anyway
             img = np.asarray(img, np.float32)
-        out = fused_track.track_step_mono(
-            img, R_pred, t_pred,
-            self._lm_bundle, self._sf_dev, self._isig_dev, self.cfg.orb,
-            float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
-            int(cam.width), int(cam.height),
-            radius_mult_motion=cfgt.motion_search_radius / 2.5,
-            radius_mult_local=cfgt.local_search_radius / 2.5,
-            R_last=R_last, t_last=t_last,
-        )
+        with self.timer.stage("fused.dispatch"):
+            out = fused_track.track_step_mono(
+                img, R_pred, t_pred,
+                self._lm_bundle, self._sf_dev, self._isig_dev, self.cfg.orb,
+                float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+                int(cam.width), int(cam.height),
+                radius_mult_motion=cfgt.motion_search_radius / 2.5,
+                radius_mult_local=cfgt.local_search_radius / 2.5,
+                R_last=R_last, t_last=t_last,
+            )
+        # prefetch this frame's summary on a worker thread: np.asarray
+        # releases the GIL while it waits on device compute + the D2H
+        # transfer, so the fetch overlaps the NEXT frame's host work and the
+        # lag-1 finalize reads an already-landed result instead of paying a
+        # blocking round trip. (jax.Array.copy_to_host_async is NOT used:
+        # on the axon tunnel backend it stalls the stream for ~36 s.)
+        fetch = _SummaryFetch(out.summary)
         fd = FrameData(frame_id=self.frame_id, timestamp=timestamp,
                        kp=out.kp, R=np.eye(3, dtype=np.float32),
                        t=np.zeros(3, np.float32),
                        kp_mp=np.full(out.kp.capacity, INVALID, np.int64))
+        # prefetch the keyframe-relevant keypoint arrays too (~100 KB ≈
+        # 1.5 ms of link bandwidth; desc_pm1 is NOT fetched — it unpacks
+        # from desc_u8 on host in microseconds): if this frame becomes a
+        # keyframe the data is already host-side, so keyframe creation
+        # skips its blocking fetch
+        from ..utils.async_fetch import BackgroundFetch
+
+        kp = out.kp
+        fd._kp_fetch = BackgroundFetch(
+            (kp.xy, kp.response, kp.angle, kp.octave, kp.valid, kp.desc_u8))
         fd._finalize_cb = self.flush
         self.frame_id += 1
         snapshot = (self._lm_ids, self._lm_n, self._lm_bundle.capacity,
                     self.store.correction_epoch)
         disruption = self._finalize_pending()
-        self._pending = (fd, out, snapshot)
+        self._pending = (fd, out, fetch, snapshot)
         if disruption:
             # frame t was dispatched against pre-disruption state. Its
             # matches are still valid (the old bundle is a valid local map
@@ -317,7 +376,7 @@ class Tracker:
         device pose chain."""
         if self._pending is None:
             return False
-        fd, out, (lm_ids, lm_n, P, epoch) = self._pending
+        fd, out, fetch, (lm_ids, lm_n, P, epoch) = self._pending
         self._pending = None
         fd._finalize_cb = None
         cfgt = self.cfg.tracking
@@ -333,7 +392,8 @@ class Tracker:
                 ok = self._track_local_map(fd)
             disruption = True
         elif not stale:
-            s = np.asarray(out.summary)     # the ONE blocking readback
+            with self.timer.stage("fused.finalize_fetch"):
+                s = fetch.get()   # already landed via the prefetch thread
             K = out.kp.capacity
             info = fused_track.unpack_summary(s, P, K)
             slot = info["kp_slot"]
@@ -1025,20 +1085,42 @@ class Tracker:
         since = fd.frame_id - self.last_kf_frame_id
         if since < cfg.min_frames_between_kf:
             return False
+        # mapping idle gate (`NeedNewKeyFrame`, src/Tracking.cc:1447-1466):
+        # the reference only mints while the mapping thread is idle (except
+        # when starved past mMaxFrames). With the overlapped stage pipeline
+        # this also keeps the policy honest — the reference keyframe's
+        # observation count is only complete once its triangulation stage
+        # has landed, and comparing against a half-built count mints storms
+        # of redundant keyframes that culling then has to undo.
+        # "idle" = the reference keyframe's triangulation/fuse stages have
+        # landed, so ref_tracked below is a COMPLETE observation count. An
+        # in-flight local BA does not gate minting — the reference likewise
+        # interrupts a running BA to admit a needed keyframe (InterruptBA,
+        # src/Tracking.cc:1468-1500).
+        idle = self.mapper is None or self.mapper._kf_stage is None
         ref_tracked = int(((store.kf_kp_mp[self.ref_kf] >= 0)
                            & store.kf_kp_valid[self.ref_kf]).sum())
         tracked = int((fd.kp_mp >= 0).sum())
         c1 = since >= cfg.max_frames_between_kf
         c2 = tracked < cfg.ref_ratio * max(ref_tracked, 1) and tracked > 15
-        return bool(c1 or c2)
+        return bool(c1 or (c2 and idle))
 
     def _create_keyframe(self, fd: FrameData):
         store = self.store
         if not isinstance(fd.kp.xy, np.ndarray):
-            # one batched transfer instead of one implicit fetch per array
+            # one batched transfer instead of one implicit fetch per array;
+            # fused frames prefetched this in the background at dispatch
             from ..frontend.keypoints import Keypoints
 
-            fd.kp = Keypoints(*jax.device_get(tuple(fd.kp)))
+            with self.timer.stage("kf.fetch_kp"):
+                if fd._kp_fetch is not None:
+                    xy, resp, ang, octv, val, u8 = fd._kp_fetch.get()
+                    pm1 = (np.unpackbits(u8, axis=-1, bitorder="little")
+                           .astype(np.int8) * 2 - 1)
+                    fd.kp = Keypoints(xy, resp, ang, octv, val, u8, pm1)
+                    fd._kp_fetch = None
+                else:
+                    fd.kp = Keypoints(*jax.device_get(tuple(fd.kp)))
         bird = ((fd.bird_kp, fd.bird_base_xyz)
                 if fd.bird_kp is not None else None)
         kf = store.alloc_keyframe(fd.R, fd.t, fd.frame_id, fd.timestamp, fd.kp,
@@ -1059,11 +1141,13 @@ class Tracker:
         self.ref_kf = kf
         self.last_kf_frame_id = fd.frame_id
         if self.mapper is not None:
-            self.mapper.process_keyframe(kf)
+            with self.timer.stage("kf.mapper"):
+                self.mapper.process_keyframe(kf)
             fd.R = store.kf_R[kf].copy()
             fd.t = store.kf_t[kf].copy()
         if self.cfg.tracking.fused_tracking:
-            self._refresh_local_map()
+            with self.timer.stage("kf.bundle_refresh"):
+                self._refresh_local_map()
 
     def _seed_depth_points(self, fd: FrameData, kf: int):
         """`Tracking::CreateNewKeyFrame` stereo branch: unproject the closest

@@ -218,6 +218,46 @@ class BirdSequence:
         return img, bev, (R_cw, t_cw)
 
 
+@dataclass
+class CircleSequence:
+    """Monocular camera orbiting inside a textured box room — KITTI-style
+    revisits: the trajectory closes a loop every `frames_per_rev` frames.
+    Same vehicle-on-ground pose math as BirdSequence, no BEV stream."""
+
+    cam: PinholeCamera
+    n_frames: int = 400
+    speed: float = 0.05        # m per frame along heading
+    frames_per_rev: int = 400
+    box_half: float = 10.0
+    seed: int = 7
+
+    def __post_init__(self):
+        self.walls = [make_texture(self.seed + i) for i in range(4)]
+        self.R_bc = np.array([[0, 0, 1], [-1, 0, 0], [0, -1, 0]], np.float32)
+        self.t_bc = np.array([0.0, 0.0, 1.2], np.float32)
+        self.yaw_rate = 2 * np.pi / self.frames_per_rev
+
+    def gt_pose(self, i: int):
+        yaw = self.yaw_rate * i
+        r = self.speed / self.yaw_rate
+        x = r * np.sin(yaw)
+        y = r * (1 - np.cos(yaw))
+        c, s = np.cos(yaw), np.sin(yaw)
+        R_wb = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        R_wc = R_wb @ self.R_bc
+        t_wc = R_wb @ self.t_bc + np.array([x, y, 0], np.float32)
+        R_cw = R_wc.T
+        t_cw = -R_cw @ t_wc
+        return R_cw, t_cw
+
+    def frame(self, i: int):
+        R_cw, t_cw = self.gt_pose(i)
+        img = render_box_view(self.cam, self.walls, R_cw.astype(np.float64),
+                              t_cw.astype(np.float64),
+                              box_half=self.box_half)
+        return img, (R_cw, t_cw)
+
+
 def ate_rmse(est_positions: np.ndarray, gt_positions: np.ndarray,
              align: bool = True, with_scale: bool = False):
     """Absolute trajectory error after optional Umeyama alignment — the TUM

@@ -1,0 +1,59 @@
+"""KITTI-scale long-run test: 2000 frames, hundreds of keyframes, multiple
+loop revisits — exercises capacity GROWTH past the initial store caps
+(round-1 hard-died at 256 KFs / 40k points; VERDICT r1 item 2), keyframe /
+map-point culling under sustained load, loop closing on revisits, and
+bounded memory.
+
+The reference's equivalent is a full KITTI odometry run
+(`Examples/Monocular/mono_kitti.cc`, configs KITTI00-02.yaml); no dataset
+ships in this container, so the sequence is a synthetic orbit with exact
+ground truth at KITTI-like keyframe density.
+"""
+import numpy as np
+import pytest
+
+from orbslam_birdview_tpu.api import SlamConfig
+from orbslam_birdview_tpu.api.system import System
+from orbslam_birdview_tpu.core.camera import PinholeCamera
+from orbslam_birdview_tpu.frontend.orb import ORBConfig
+from orbslam_birdview_tpu.utils.synth import CircleSequence, ate_rmse
+
+
+@pytest.mark.slow
+def test_kitti_scale_longrun():
+    cam = PinholeCamera(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                        width=320, height=240)
+    N = 2000
+    seq = CircleSequence(cam, n_frames=N, speed=0.045, frames_per_rev=500,
+                         box_half=9.0)
+    cfg = SlamConfig(camera=cam, orb=ORBConfig(n_features=600), sensor="mono")
+    # KITTI-like keyframe density: force a KF at least every 4 frames so the
+    # run blows far past the initial 256-KF store capacity
+    cfg.tracking.max_frames_between_kf = 4
+    sys_ = System(cfg)
+    gt = {}
+    for i in range(N):
+        img, pose = seq.frame(i)
+        gt[i] = pose
+        sys_.track_monocular(np.clip(img, 0, 255).astype(np.uint8), i / 10.0)
+    sys_._flush()
+    store = sys_.store
+
+    # capacity growth actually exercised (initial caps: 256 KFs)
+    assert store.n_kf > 256, f"only {store.n_kf} KFs allocated"
+    # sustained tracking: large valid map but bounded by culling
+    n_valid_kf = int(store.kf_valid[: store.n_kf].sum())
+    assert n_valid_kf > 150, f"only {n_valid_kf} keyframes survived"
+    # loop revisits detected and closed at least once over 4 revolutions
+    assert sys_.loop_closer.n_loops_closed >= 1, "no loop closed"
+
+    est, gtp = [], []
+    for k in store.valid_kf_ids():
+        fid = int(store.kf_frame_id[k])
+        Rg, tg = gt[fid]
+        est.append(-store.kf_R[k].T @ store.kf_t[k])
+        gtp.append(-Rg.T @ tg)
+    ate = ate_rmse(np.array(est), np.array(gtp), with_scale=True)
+    # orbit radius ~3.6 m (diameter ~7.2 m); loop-corrected mono ATE must
+    # stay a small fraction of the trajectory scale
+    assert ate < 0.35, f"long-run ATE {ate:.3f} m"

@@ -20,7 +20,20 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeated bench runs skip the
+    multi-minute remote compiles (first run per program still pays)."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
+    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--mode", default="mono", choices=["mono", "bird"])
@@ -46,7 +59,9 @@ def main():
                                  push=0.002)
         for i in range(args.frames):
             img, pose = seq.frame(i)
-            frames.append((img, None, None))
+            # quantize like a real sensor: dataset images are 8-bit, and the
+            # u8 upload is 4x cheaper over the host->device link
+            frames.append((np.clip(img, 0, 255).astype(np.uint8), None, None))
             gt.append(pose)
     else:
         bv = BirdviewCamera()
@@ -56,7 +71,8 @@ def main():
         seq = synth.BirdSequence(cam, bv, n_frames=args.frames)
         for i in range(args.frames):
             img, bev, pose = seq.frame(i)
-            frames.append((img, bev, None))
+            frames.append((np.clip(img, 0, 255).astype(np.uint8),
+                           np.clip(bev, 0, 255).astype(np.uint8), None))
             gt.append(pose)
     print(f"rendered {args.frames} frames in "
           f"{time.perf_counter() - t_render:.1f}s", file=sys.stderr)
@@ -107,7 +123,10 @@ def main():
     }
     print(json.dumps(out))
     if args.timing:
+        from orbslam_birdview_tpu.utils.profiling import GLOBAL_TIMER
+
         print(sys_.tracker.timer.summary(), file=sys.stderr)
+        print(GLOBAL_TIMER.summary(), file=sys.stderr)
 
 
 if __name__ == "__main__":
