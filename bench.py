@@ -177,3 +177,9 @@ def main():
 
 if __name__ == "__main__":
     main()
+    import os
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)  # the tunnel backend can hang interpreter teardown

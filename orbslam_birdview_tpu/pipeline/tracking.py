@@ -1092,12 +1092,16 @@ class Tracker:
         # observation count is only complete once its triangulation stage
         # has landed, and comparing against a half-built count mints storms
         # of redundant keyframes that culling then has to undo.
-        # "idle" = the reference keyframe's triangulation/fuse stages have
-        # landed, so ref_tracked below is a COMPLETE observation count. An
-        # in-flight local BA does not gate minting — the reference likewise
-        # interrupts a running BA to admit a needed keyframe (InterruptBA,
-        # src/Tracking.cc:1468-1500).
-        idle = self.mapper is None or self.mapper._kf_stage is None
+        # "idle" = the reference keyframe's stages AND its local BA have
+        # landed (the reference's AcceptKeyFrames is false through its whole
+        # mapping iteration including local BA, src/LocalMapping.cc:47-122).
+        # Gating on the full pipeline both keeps ref_tracked a complete
+        # count and stops mint-and-cull churn: without it this policy mints
+        # ~4x the keyframes culling later removes, and every premature mint
+        # stalls the frame path draining the previous one's pipeline.
+        idle = (self.mapper is None
+                or (self.mapper._kf_stage is None
+                    and self.mapper._ba_pending is None))
         ref_tracked = int(((store.kf_kp_mp[self.ref_kf] >= 0)
                            & store.kf_kp_valid[self.ref_kf]).sum())
         tracked = int((fd.kp_mp >= 0).sum())

@@ -131,3 +131,9 @@ def main():
 
 if __name__ == "__main__":
     main()
+    import os
+    import sys as _s
+
+    _s.stdout.flush()
+    _s.stderr.flush()
+    os._exit(0)  # the tunnel backend can hang interpreter teardown
