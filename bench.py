@@ -8,19 +8,33 @@ and loop-closing checks. This is the reference's acceptance measurement
 mean at exit). Compile frames (first occurrence of each program) are
 excluded the same way a warmed deployment would be.
 
-Secondary: the pure device tracking-step microbenchmark (extraction +
-matching + pose LM chained in one lax.scan), reported as
-`device_step_fps` — the ceiling the host pipeline converges toward.
-
 Baseline: the reference's real-time pacing target is ~30 fps on desktop
 CPU (BASELINE.md; TUM=30fps, fisheye=25fps). vs_baseline = fps / 30.
 
-Prints ONE JSON line.
+Prints ONE JSON line — and is engineered to ALWAYS print it inside the
+driver's budget:
+  - the persistent compile cache ships with the repo (`.jax_cache_tpu/`),
+    so a cold driver run reuses the committed executables instead of
+    paying minutes-per-program remote compiles (round-2's bench timed out
+    exactly there — rc=124, no number recorded);
+  - the frame loop has an internal deadline (BENCH_BUDGET_S, default
+    1200 s): if compiles still blow the budget, the run stops early and
+    reports the frames it did process;
+  - the secondary device microbenchmark runs only when the remaining
+    budget allows, and its failure can never suppress the headline line.
 """
 import json
+import os
 import time
 
 import numpy as np
+
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+
+
+def _remaining():
+    return BUDGET_S - (time.perf_counter() - T_START)
 
 
 def pipeline_fps(n_frames: int = 300):
@@ -44,10 +58,17 @@ def pipeline_fps(n_frames: int = 300):
 
     sys_ = System(cfg)
     times = []
+    done = 0
     for i, img in enumerate(frames):
         t0 = time.perf_counter()
         sys_.track_monocular(img, i / 30.0)
         times.append(time.perf_counter() - t0)
+        done = i + 1
+        # deadline guard: keep enough budget to flush the pipeline and
+        # print the headline even if cold compiles ate the run
+        if _remaining() < 60 and done >= 50:
+            break
+    sys_._flush()
     times = np.array(times)
     med = float(np.median(times))
     steady = times[times < 5 * med]   # drop compile frames
@@ -66,7 +87,7 @@ def pipeline_fps(n_frames: int = 300):
         "mean_ms": float(steady.mean()) * 1e3,
         "p90_ms": float(np.percentile(steady, 90)) * 1e3,
         "tracked_frames": len(est),
-        "n_frames": n_frames,
+        "n_frames": done,
         "keyframes": sys_.n_keyframes(),
         "ate_rmse_m": float(ate),
     }
@@ -150,16 +171,22 @@ def device_step_fps():
 
 
 def main():
+    import sys
+
     try:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # repo-local persistent compile cache: committed with the repo so
+        # the driver's cold run reuses warmed executables (see module doc)
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache_tpu")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
     pipe = pipeline_fps()
-    micro = device_step_fps()
-    print(json.dumps({
+    line = {
         "metric": "pipeline_fps_1chip",
         "value": round(pipe["fps"], 2),
         "unit": "frames/s",
@@ -171,13 +198,20 @@ def main():
         "tracked_frames": pipe["tracked_frames"],
         "keyframes": pipe["keyframes"],
         "ate_rmse_m": round(pipe["ate_rmse_m"], 4),
-        "device_step_fps": round(micro, 1),
-    }))
+    }
+    # secondary microbench only if the budget comfortably allows; its
+    # absence or failure never suppresses the headline
+    if _remaining() > 180:
+        try:
+            line["device_step_fps"] = round(device_step_fps(), 1)
+        except Exception as e:  # pragma: no cover
+            print(f"device_step_fps skipped: {e}", file=sys.stderr)
+    print(json.dumps(line))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
     main()
-    import os
     import sys
 
     sys.stdout.flush()

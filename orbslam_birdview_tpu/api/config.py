@@ -44,10 +44,12 @@ class TrackingConfig:
     # motion-model + local-map tracking with a single readback per frame
     fused_tracking: bool = True
     fused_point_cap: int = 6144
-    # lag-1 pipelining: finalize frame t−1 while frame t computes on
-    # device (hides the readback latency). False = finalize every frame
-    # synchronously before returning.
+    # lag-N pipelining: retire in-flight frames as their summary fetches
+    # land, blocking only past `fused_max_lag` frames in flight (the D2H
+    # link has ~35 ms latency; 2-3 frames of lag hide it completely).
+    # fused_lag1=False forces synchronous finalization of every frame.
     fused_lag1: bool = True
+    fused_max_lag: int = 3
     # birdview
     bird_info_scale_pose: float = 1.0
     bird_info_scale_ba: float = 1.0

@@ -141,6 +141,14 @@ class System:
         self._flush()
         return self.tracker.state
 
+    def peek_tracking_state(self) -> int:
+        """Tracker state WITHOUT draining the lag pipeline or background
+        BA — for progress reporting inside the frame loop. `get_tracking_
+        state` flushes everything, so calling it mid-run destroys the
+        overlap it is reporting on (a dataset driver polling it every 50
+        frames measured ~0 pipeline benefit)."""
+        return self.tracker.state
+
     def map_changed(self) -> int:
         return self.store.big_change_idx
 
@@ -157,6 +165,7 @@ class System:
         fd = self.tracker.last_frame
         if fd is None:
             return np.zeros(0, np.int64)
+        self.tracker.resolve_associations(fd)
         return fd.kp_mp.copy()
 
     def get_tracked_keypoints(self):

@@ -122,7 +122,10 @@ def main(argv=None):
             times.append(time.perf_counter() - t0)
             n += 1
             if n % 50 == 0:
-                print(f"frame {n}: state={sys_.get_tracking_state()} "
+                # peek, don't flush: get_tracking_state() drains the lag
+                # pipeline + background BA, destroying the very overlap a
+                # perf run is measuring
+                print(f"frame {n}: state={sys_.peek_tracking_state()} "
                       f"kfs={sys_.n_keyframes()} mps={sys_.n_map_points()}")
             if args.max_frames and n >= args.max_frames:
                 break

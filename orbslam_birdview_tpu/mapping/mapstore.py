@@ -91,6 +91,9 @@ class MapStore:
         self.bmp_desc = np.zeros((B, 32), np.uint8)
         self.bmp_n_obs = np.zeros(B, np.int32)
         self.bmp_first_kf_id = np.full(B, INVALID, np.int64)
+        # first observing keyframe — anchors post-GBA propagation of bird
+        # landmarks created while a GBA was in flight (mirrors mp_ref_kf)
+        self.bmp_ref_kf = np.full(B, INVALID, np.int64)
         # covisibility counts (shared map points between KF pairs)
         self.covis = np.zeros((K, K), np.int32)
         # spanning tree: parent kf
@@ -163,6 +166,7 @@ class MapStore:
         for name in ("bmp_pos", "bmp_valid", "bmp_desc", "bmp_n_obs"):
             setattr(self, name, g(getattr(self, name), new))
         self.bmp_first_kf_id = g(self.bmp_first_kf_id, new, fill=INVALID)
+        self.bmp_ref_kf = g(self.bmp_ref_kf, new, fill=INVALID)
         self.max_bmp = new
 
     # ------------------------------------------------------------------
@@ -248,6 +252,8 @@ class MapStore:
         np.add.at(self.bmp_n_obs, bmp_ids, 1)
         dec = old[old >= 0]
         np.add.at(self.bmp_n_obs, dec, -1)
+        unref = self.bmp_ref_kf[bmp_ids] == INVALID
+        self.bmp_ref_kf[bmp_ids[unref]] = kf
 
     def remove_observation(self, kf: int, kp_idx):
         mp = self.kf_kp_mp[kf, kp_idx]
@@ -361,6 +367,20 @@ class MapStore:
         kfs, kps = self.observations_of(mp_id)
         self.kf_kp_mp[kfs, kps] = INVALID
         self.mp_n_obs[mp_id] = 0
+
+    def erase_points(self, mp_ids):
+        """Batched erase: ONE scan of the observation map for the whole
+        batch (per-point erase_point scans (n_kf × kp_cap) each — O(n·K·C)
+        for a culling pass that only needs O(K·C))."""
+        mp_ids = np.asarray(mp_ids)
+        if mp_ids.size == 0:
+            return
+        self.mp_valid[mp_ids] = False
+        self.mp_n_obs[mp_ids] = 0
+        member = np.zeros(self.max_mp, bool)
+        member[mp_ids] = True
+        obs = self.kf_kp_mp[: self.n_kf]
+        obs[(obs >= 0) & member[obs.clip(0)]] = INVALID
 
     def erase_bird_point(self, b: int):
         self.bmp_valid[b] = False

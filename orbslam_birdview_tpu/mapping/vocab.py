@@ -45,16 +45,18 @@ class Vocabulary(NamedTuple):
                           jnp.asarray(z["weights"]), k ** L)
 
 
-_host_centroid_cache: dict[int, np.ndarray] = {}
+# Cache holds a strong reference to the exact device array it was built
+# from and validates by identity — id()-keyed caching is unsound because
+# CPython can reuse the id of a garbage-collected array for a rebuilt
+# vocabulary, silently serving stale centroids.
+_host_centroid_cache: list = []  # [device_centroids, host_f32] or empty
 
 
 def _centroids_np(voc: Vocabulary) -> np.ndarray:
-    key = id(voc.centroids)
-    c = _host_centroid_cache.get(key)
-    if c is None:
-        _host_centroid_cache.clear()  # one vocabulary per process in practice
-        c = np.asarray(voc.centroids, dtype=np.float32)
-        _host_centroid_cache[key] = c
+    if _host_centroid_cache and _host_centroid_cache[0] is voc.centroids:
+        return _host_centroid_cache[1]
+    c = np.asarray(voc.centroids, dtype=np.float32)
+    _host_centroid_cache[:] = [voc.centroids, c]
     return c
 
 

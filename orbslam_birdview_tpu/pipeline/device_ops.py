@@ -207,21 +207,24 @@ def epipolar_triangulate_batch(
 
 @jax.jit
 def fuse_project_batch(
-    R2s, t2s, nb_ok, mp_pos, mp_desc_u8,
+    R2s, t2s, nb_ok, mp_pos, mp_valid, mp_desc_u8,
     kp2s_xy, kp2s_octave, kp2s_valid, desc2s_u8,
     fx, fy, cx, cy, width, height, radius,
 ):
     """Project one keyframe's landmarks into ALL fuse neighbors in ONE
     dispatch (`LocalMapping::SearchInNeighbors`, src/LocalMapping.cc:464-544
     projects serially per neighbor). Returns (N, P) matched keypoint index
-    per neighbor, -1 where unmatched."""
+    per neighbor, -1 where unmatched. `mp_valid` masks padded landmark
+    slots — without it a padded slot (sentinel position, real descriptor)
+    can project in-bounds for some poses and outbid a genuine landmark in
+    duplicate resolution."""
     desc2s_pm1 = unpack_bits_to_pm1(desc2s_u8)
 
     def one(R, t, ok, kxy, koct, kval, kdesc):
         uv, _, pok = project_points(R, t, mp_pos, fx, fy, cx, cy,
                                     width, height)
-        idx, _ = match_projected(uv, pok & ok, mp_desc_u8, kxy, koct,
-                                 kval & ok, kdesc, radius, None,
+        idx, _ = match_projected(uv, pok & ok & mp_valid, mp_desc_u8,
+                                 kxy, koct, kval & ok, kdesc, radius, None,
                                  max_dist_th=50)
         return idx
 

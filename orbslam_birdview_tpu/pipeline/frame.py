@@ -33,10 +33,14 @@ class FrameData:
     kp_vo_xyz: Optional[np.ndarray] = None      # (K,3) VO world positions
     n_vo_inliers: int = 0
     _pose_ok: bool = False
-    # background prefetch of the full keypoint arrays (kp lives on device
-    # for fused frames; a keyframe event consumes the prefetched copy
-    # instead of paying a blocking device->host round trip)
-    _kp_fetch: Optional[object] = None
+    # fused frames defer their keypoint→landmark association readback: the
+    # (K,) slot array stays on device until the frame becomes a keyframe
+    # or an API consumer asks (Tracker.resolve_associations)
+    _kp_slot_dev: Optional[object] = None
+    _lm_ids_snapshot: Optional[tuple] = None
+    # tracked-landmark count from the device summary (fused frames have no
+    # host kp_mp to count until resolved)
+    _n_tracked: Optional[int] = None
     # lag-1 pipelining: while this frame is in flight, reading pose_ok
     # synchronizes (finalizes the frame) so the per-frame API contract of
     # the reference (`TrackMonocular` returns the pose) is preserved;

@@ -70,24 +70,29 @@ class BirdMapDevice(NamedTuple):
 
 class FusedOutput(NamedTuple):
     kp: Keypoints           # full frame keypoints (device; fetched lazily)
-    summary: jnp.ndarray    # packed per-frame readback — ONE transfer
-    # device-resident pose chain for lag-1 pipelining: the next frame's
+    summary: jnp.ndarray    # tiny per-frame readback — ONE ~64 B transfer
+    # device-resident pose chain for lag-N pipelining: the next frame's
     # step consumes these WITHOUT a host round trip
     R: jnp.ndarray = None          # (3,3) final pose (device)
     t: jnp.ndarray = None          # (3,)
     R_pred_next: jnp.ndarray = None  # (3,3) motion-model prediction for t+1
     t_pred_next: jnp.ndarray = None  # (3,)
+    # per-keypoint candidate slot (device; fetched only when this frame
+    # becomes a keyframe or an API consumer asks for associations)
+    kp_slot: jnp.ndarray = None      # (K,) int32, -1 = no landmark
+    # per-candidate visible/found counters accumulated ON DEVICE across
+    # frames of one bundle epoch; fetched once per bundle refresh instead
+    # of shipping a (P,) code vector home every frame. On the dev tunnel a
+    # D2H fetch costs ~35 ms latency regardless of size — the per-frame
+    # summary must stay tiny and everything else must ride batch fetches.
+    vis_acc: jnp.ndarray = None      # (P,) int32
+    found_acc: jnp.ndarray = None    # (P,) int32
     bird_kp: Optional[Keypoints] = None
     bird_base_xyz: Optional[jnp.ndarray] = None  # (Kb,3) base-frame points
 
     # summary layout (f32):
     # [0:9] R row-major, [9:12] t, [12] n_inliers_front, [13] n_matched,
     # [14] n_inliers_bird, [15] n_kp
-    # [16:16+P]        per-candidate code: visible*1 + found*2
-    # [16+P:16+P+K]    kp_slot: candidate slot per keypoint or -1
-    # bird mode appends:
-    # [..:..+Pb]       per-bird-candidate code
-    # [..:..+Kb]       bird_slot per BEV keypoint or -1
 
 
 def _match_stage(ham, uv, ok, radius, pred_oct, kp_xy, kp_octave,
@@ -124,6 +129,8 @@ def track_step_mono(
     min_widen: int = 20,
     R_last=None,
     t_last=None,
+    vis_acc=None,      # (P,) int32 running visible counters (device)
+    found_acc=None,    # (P,) int32 running found counters (device)
 ) -> FusedOutput:
     """One fused tracking step. When (R_last, t_last) are given, the step
     also emits the motion-model prediction for the NEXT frame
@@ -195,15 +202,18 @@ def track_step_mono(
     kp_slot = kp_slot.at[jnp.where(final_inl, idx2, K)].set(
         slot_ids, mode="drop")
 
-    code = visible.astype(jnp.float32) + 2.0 * found.astype(jnp.float32)
+    if vis_acc is None:
+        vis_acc = jnp.zeros((P,), jnp.int32)
+    if found_acc is None:
+        found_acc = jnp.zeros((P,), jnp.int32)
+    vis_acc = vis_acc + visible.astype(jnp.int32)
+    found_acc = found_acc + found.astype(jnp.int32)
     summary = jnp.concatenate([
         res2.R.reshape(-1), res2.t,
         jnp.stack([n_inl.astype(jnp.float32),
                    n_matched.astype(jnp.float32),
                    jnp.float32(0.0),
                    kp.count().astype(jnp.float32)]),
-        code,
-        kp_slot.astype(jnp.float32),
     ])
     R_np, t_np = None, None
     if R_last is not None:
@@ -220,28 +230,18 @@ def track_step_mono(
         for _ in range(2):
             R_np = 1.5 * R_np - 0.5 * R_np @ (R_np.T @ R_np)
     return FusedOutput(kp=kp, summary=summary, R=res2.R, t=res2.t,
-                       R_pred_next=R_np, t_pred_next=t_np)
+                       R_pred_next=R_np, t_pred_next=t_np,
+                       kp_slot=kp_slot, vis_acc=vis_acc,
+                       found_acc=found_acc)
 
 
-def unpack_summary(summary_np, P: int, K: int, Pb: int = 0, Kb: int = 0):
-    """Host-side view of the packed summary vector."""
-    R = summary_np[0:9].reshape(3, 3).astype("float32")
-    t = summary_np[9:12].astype("float32")
-    n_inl = int(summary_np[12])
-    n_matched = int(summary_np[13])
-    n_inl_bird = int(summary_np[14])
-    n_kp = int(summary_np[15])
-    code = summary_np[16:16 + P].astype(int)
-    visible = (code & 1) > 0
-    found = (code & 2) > 0
-    kp_slot = summary_np[16 + P:16 + P + K].astype(int)
-    out = dict(R=R, t=t, n_inliers=n_inl, n_matched=n_matched,
-               n_inliers_bird=n_inl_bird, n_kp=n_kp,
-               visible=visible, found=found, kp_slot=kp_slot)
-    off = 16 + P + K
-    if Pb:
-        bcode = summary_np[off:off + Pb].astype(int)
-        out["bird_visible"] = (bcode & 1) > 0
-        out["bird_found"] = (bcode & 2) > 0
-        out["bird_slot"] = summary_np[off + Pb:off + Pb + Kb].astype(int)
-    return out
+def unpack_summary(summary_np):
+    """Host-side view of the tiny per-frame summary vector."""
+    return dict(
+        R=summary_np[0:9].reshape(3, 3).astype("float32"),
+        t=summary_np[9:12].astype("float32"),
+        n_inliers=int(summary_np[12]),
+        n_matched=int(summary_np[13]),
+        n_inliers_bird=int(summary_np[14]),
+        n_kp=int(summary_np[15]),
+    )

@@ -55,8 +55,13 @@ class LocalMapper:
         invalidates its device pose chain on that. Stage advances that only
         add/merge landmarks leave the chain valid; the tracker picks the
         new points up through the big_change_idx bundle refresh."""
+        # the loop-closing stage can run inside _advance_kf_stage: a loop
+        # correction rewrites ALL keyframe poses, so an epoch bump must
+        # count as poses_moved even though no BA landed this poll
+        epoch0 = self.store.correction_epoch
         self._advance_kf_stage()
         poses_moved = self.finalize_ba()
+        poses_moved |= self.store.correction_epoch != epoch0
         if self._gba_pending is not None:
             if self.finalize_gba():
                 poses_moved = True
@@ -161,25 +166,27 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def _cull_recent_points(self, kf: int):
-        """MapPointCulling: drop low-found-ratio / under-observed points."""
+        """MapPointCulling: drop low-found-ratio / under-observed points.
+        Fully vectorized — one batched erase instead of per-point
+        observation-map scans."""
         store = self.store
         cfg = self.cfg.mapping
-        keep = []
-        for mp_id, birth in self.recent_mp:
-            if not store.mp_valid[mp_id]:
-                continue
-            found = store.mp_found[mp_id]
-            visible = max(store.mp_visible[mp_id], 1)
-            age = kf - birth
-            if visible >= 3 and found / visible < cfg.found_ratio_cull:
-                store.erase_point(mp_id)
-            elif age >= 2 and store.mp_n_obs[mp_id] <= 2 and self.cfg.sensor == "mono":
-                store.erase_point(mp_id)
-            elif age >= 3:
-                continue  # graduated
-            else:
-                keep.append((mp_id, birth))
-        self.recent_mp = keep
+        if not self.recent_mp:
+            return
+        arr = np.asarray(self.recent_mp, np.int64).reshape(-1, 2)
+        ids, births = arr[:, 0], arr[:, 1]
+        valid = store.mp_valid[ids]
+        found = store.mp_found[ids].astype(np.float32)
+        visible = np.maximum(store.mp_visible[ids], 1).astype(np.float32)
+        age = kf - births
+        kill = valid & (store.mp_visible[ids] >= 3) \
+            & (found / visible < cfg.found_ratio_cull)
+        if self.cfg.sensor == "mono":
+            kill |= valid & (age >= 2) & (store.mp_n_obs[ids] <= 2)
+        store.erase_points(ids[kill])
+        keep = valid & ~kill & (age < 3)   # age>=3 graduates
+        self.recent_mp = list(zip(ids[keep].tolist(),
+                                  births[keep].tolist()))
 
     # ------------------------------------------------------------------
     def _dispatch_triangulate(self, kf: int):
@@ -223,32 +230,36 @@ class LocalMapper:
         return (good, free1), BackgroundFetch(out)
 
     def _apply_triangulate(self, kf: int, meta, fetched):
-        """CreateNewMapPoints, apply half: allocate the accepted points."""
+        """CreateNewMapPoints, apply half: allocate the accepted points.
+        Vectorized — the first (best-covisible) neighbor accepting a
+        keypoint wins, matching the reference's serial visit order; ONE
+        allocation for the whole batch."""
         store = self.store
         good, free1 = meta
         idx2, X, ok = fetched
-        new_ids: list[int] = []
-        for j, nb in enumerate(good):
-            # every neighbor matched against the same initial free set; a
-            # keypoint triangulated vs an earlier neighbor keeps that match
-            k1 = np.nonzero(ok[j] & free1)[0]
-            if len(k1) == 0 or not store.kf_valid[nb]:
-                continue
-            k2 = idx2[j][k1]
-            descs = store.kf_desc[kf][k1]
-            ids = store.alloc_points(X[j][k1].astype(np.float32), descs, kf,
-                                     int(store.kf_frame_id[kf]))
-            store.add_observations(kf, k1, ids)
-            store.add_observations(nb, k2, ids)
-            free1[k1] = False
-            self.recent_mp.extend((int(i), kf) for i in ids)
-            new_ids.extend(int(i) for i in ids)
-        if new_ids:
-            store.update_point_stats(np.asarray(new_ids, np.int64),
-                                     self.scale_factors)
-            # fresh landmarks should enter the tracker's candidate bundle on
-            # the next frame, not only when the local BA lands
-            store.big_change_idx += 1
+        nbs = np.asarray(good, np.int64)
+        idx2, X, ok = idx2[: len(nbs)], X[: len(nbs)], ok[: len(nbs)]
+        okm = (ok & free1[None, :]
+               & store.kf_valid[nbs][:, None])          # (N, K1)
+        has = okm.any(0)
+        k1 = np.nonzero(has)[0]
+        if len(k1) == 0:
+            return
+        j_first = np.argmax(okm[:, k1], axis=0)         # first True per col
+        ids = store.alloc_points(
+            X[j_first, k1].astype(np.float32), store.kf_desc[kf][k1], kf,
+            int(store.kf_frame_id[kf]))
+        store.add_observations(kf, k1, ids)
+        # neighbor-side observations grouped per neighbor (≤10 vector calls)
+        for j in np.unique(j_first):
+            sel = j_first == j
+            store.add_observations(int(nbs[j]), idx2[j][k1[sel]], ids[sel])
+        free1[k1] = False
+        self.recent_mp.extend(zip(ids.tolist(), [kf] * len(ids)))
+        store.update_point_stats(ids, self.scale_factors)
+        # fresh landmarks should enter the tracker's candidate bundle on
+        # the next frame, not only when the local BA lands
+        store.big_change_idx += 1
 
     def _create_new_points(self, kf: int):
         """Synchronous triangulation (tests / non-pipelined callers)."""
@@ -299,7 +310,7 @@ class LocalMapper:
         out = device_ops.fuse_project_batch(
             jnp.asarray(store.kf_R[nbs]), jnp.asarray(store.kf_t[nbs]),
             jnp.asarray(nb_ok),
-            jnp.asarray(pos.astype(np.float32)),
+            jnp.asarray(pos.astype(np.float32)), jnp.asarray(pvalid),
             jnp.asarray(store.mp_desc[ids_p]),
             jnp.asarray(store.kf_kp_xy[nbs]),
             jnp.asarray(store.kf_kp_octave[nbs]),
@@ -313,31 +324,34 @@ class LocalMapper:
 
     def _apply_fuse(self, kf: int, meta, idx_all):
         """SearchInNeighbors, apply half: merge duplicate landmarks (keep
-        the better-observed one)."""
+        the better-observed one). The common outcome — the neighbor's
+        keypoint had NO landmark yet — is one vectorized observation write
+        per neighbor; only true merges fall to the per-pair path."""
         store = self.store
         neighbors, ids, pvalid = meta
         for j, nb in enumerate(neighbors):
             if not store.kf_valid[nb]:
                 continue  # culled while the fuse batch was in flight
             idx = idx_all[j]
-            found = np.nonzero((idx >= 0) & pvalid)[0]
-            for fi in found:
-                mp_id = int(ids[fi])
-                if not store.mp_valid[mp_id]:
-                    continue  # merged away by an earlier neighbor's fuse
-                tgt_kp = int(idx[fi])
-                existing = store.kf_kp_mp[nb, tgt_kp]
-                if existing == mp_id:
+            fi = np.nonzero((idx >= 0) & pvalid)[0]
+            if len(fi) == 0:
+                continue
+            mp_id = ids[fi]
+            tgt = idx[fi].astype(np.int64)
+            alive = store.mp_valid[mp_id]   # may have merged away already
+            existing = store.kf_kp_mp[nb, tgt]
+            ex_dead = (existing < 0) | ~store.mp_valid[existing.clip(0)]
+            add = alive & ex_dead
+            store.add_observations(nb, tgt[add], mp_id[add])
+            merge = np.nonzero(alive & ~ex_dead & (existing != mp_id))[0]
+            for m in merge:
+                a, b = int(mp_id[m]), int(existing[m])
+                if not (store.mp_valid[a] and store.mp_valid[b]):
                     continue
-                if existing >= 0 and store.mp_valid[existing]:
-                    # merge: keep the more-observed point
-                    if store.mp_n_obs[existing] >= store.mp_n_obs[mp_id]:
-                        store.replace_point(mp_id, int(existing))
-                    else:
-                        store.replace_point(int(existing), mp_id)
+                if store.mp_n_obs[b] >= store.mp_n_obs[a]:
+                    store.replace_point(a, b)
                 else:
-                    store.add_observations(nb, np.array([tgt_kp]),
-                                           np.array([mp_id]))
+                    store.replace_point(b, a)
 
     # ------------------------------------------------------------------
     def _gather_ba_problem(self, kf_window, fixed_window, pad_to=None,
@@ -573,18 +587,25 @@ class LocalMapper:
             b_live = store.bmp_valid[bmp_ids]
             store.bmp_pos[bmp_ids[b_live]] = \
                 pts_out[n_mp : n_mp + n_bmp][b_live]
-        # erase outlier observations (mono edges only — like the reference)
+        # erase outlier observations (mono edges only — like the reference),
+        # grouped per keyframe: one membership scan per KF in the window
+        # instead of one per bad edge
         ecam = np.asarray(mono_es.cam)
         ept = np.asarray(mono_es.pt)
         evalid = np.asarray(mono_es.valid)
-        bad = evalid & ~inl
-        for i in np.nonzero(bad)[0]:
-            k = int(all_kfs[ecam[i]])
-            mp_id = int(mp_ids[ept[i]]) if ept[i] < n_mp else -1
-            if mp_id >= 0 and store.mp_valid[mp_id] and store.kf_valid[k]:
-                kps = np.nonzero(store.kf_kp_mp[k] == mp_id)[0]
+        bad = np.nonzero(evalid & ~inl & (ept < n_mp))[0]
+        if len(bad):
+            bad_k = all_kfs[ecam[bad]]
+            bad_mp = mp_ids[ept[bad]]
+            keep = store.mp_valid[bad_mp] & store.kf_valid[bad_k]
+            bad_k, bad_mp = bad_k[keep], bad_mp[keep]
+            for k in np.unique(bad_k):
+                member = np.zeros(store.max_mp, bool)
+                member[bad_mp[bad_k == k]] = True
+                row = store.kf_kp_mp[k]
+                kps = np.nonzero((row >= 0) & member[row.clip(0)])[0]
                 if len(kps):
-                    store.remove_observation(k, kps)
+                    store.remove_observation(int(k), kps)
         store.big_change_idx += 1
         return True
 
@@ -772,9 +793,9 @@ class LocalMapper:
             (np.arange(pend["n_mp_snap"], store.n_mp), store.mp_pos,
              store.mp_valid, store.mp_ref_kf),
             (np.arange(pend["n_bmp_snap"], store.n_bmp), store.bmp_pos,
-             store.bmp_valid, None),
+             store.bmp_valid, store.bmp_ref_kf),
         ):
-            if ref is None or len(ids_new) == 0:
+            if len(ids_new) == 0:
                 continue
             ids_new = ids_new[valid[ids_new]]
             refs = ref[ids_new]
@@ -789,17 +810,36 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def _cull_keyframes(self, kf: int):
-        """KeyFrameCulling: a local KF is redundant if ≥90% of its points are
-        seen by ≥3 other KFs at the same-or-finer scale."""
+        """KeyFrameCulling (`src/LocalMapping.cc:642-706`): a local KF is
+        redundant if ≥90% of its landmarks are observed by ≥3 OTHER
+        keyframes at the same or finer scale (octave ≤ own octave + 1).
+        A bare observation count over-culls: coarse far-away observations
+        would count as redundancy for a fine close-up view."""
         store = self.store
         for cand in store.covisible_kfs(kf, min_weight=15):
+            cand = int(cand)
             if cand == 0 or cand == kf:
                 continue
             mp = store.kf_kp_mp[cand]
-            ids = mp[mp >= 0]
-            ids = ids[store.mp_valid[ids]]
+            kp_idx = np.nonzero(mp >= 0)[0]
+            kp_idx = kp_idx[store.mp_valid[mp[kp_idx]]]
+            ids = mp[kp_idx]
             if len(ids) < 10:
                 continue
-            redundant = (store.mp_n_obs[ids] >= 4).sum()
+            own_oct = store.kf_kp_octave[cand][kp_idx]
+            # other observers: the candidate's covisible keyframes
+            others = np.nonzero((store.covis[cand, : store.n_kf] > 0)
+                                & store.kf_valid[: store.n_kf])[0]
+            others = others[others != cand]
+            if len(others) == 0:
+                continue
+            slot = np.full(store.max_mp, -1, np.int64)
+            slot[ids] = np.arange(len(ids))
+            omp = store.kf_kp_mp[others]                 # (O, C)
+            s = slot[omp.clip(0)]
+            hit = (omp >= 0) & (s >= 0)
+            fine = store.kf_kp_octave[others] <= own_oct[s.clip(0)] + 1
+            counts = np.bincount(s[hit & fine], minlength=len(ids))
+            redundant = int((counts >= 3).sum())
             if redundant > self.cfg.mapping.kf_cull_redundancy * len(ids):
-                store.erase_keyframe(int(cand))
+                store.erase_keyframe(cand)

@@ -187,12 +187,6 @@ class LoopCloser:
         p_cur = store.mp_pos[mp_cur] @ store.kf_R[kf].T + store.kf_t[kf]
         p_cnd = store.mp_pos[mp_cnd] @ store.kf_R[cand].T + store.kf_t[cand]
         cam = self.cfg.camera
-
-        def projf(Xc):
-            z = jnp.maximum(Xc[:, 2], 1e-6)
-            return jnp.stack([cam.fx * Xc[:, 0] / z + cam.cx,
-                              cam.fy * Xc[:, 1] / z + cam.cy], -1)
-
         sig2_cur = self._sigma2_of(kf, ki)
         sig2_cnd = self._sigma2_of(cand, np.asarray(idx)[ki])
         cap = 512
@@ -208,9 +202,10 @@ class LoopCloser:
             self._next_key(),
             jnp.asarray(padp(p_cur)), jnp.asarray(padp(p_cnd)),
             jnp.asarray(np.pad(np.ones(npts, bool), (0, pad))),
-            projf, projf,
-            max_err1=jnp.asarray(np.pad(9.21 * sig2_cur[:npts], (0, pad)), jnp.float32),
-            max_err2=jnp.asarray(np.pad(9.21 * sig2_cnd[:npts], (0, pad)), jnp.float32),
+            jnp.asarray(np.pad(9.21 * sig2_cur[:npts], (0, pad)), jnp.float32),
+            jnp.asarray(np.pad(9.21 * sig2_cnd[:npts], (0, pad)), jnp.float32),
+            float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
+            float(cam.fx), float(cam.fy), float(cam.cx), float(cam.cy),
             fix_scale=fix_scale, min_inliers=20,
         )
         if not bool(res.ok):

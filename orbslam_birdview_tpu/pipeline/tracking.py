@@ -18,6 +18,7 @@ The reference's LocalMapping thread is invoked synchronously per keyframe
 from __future__ import annotations
 
 import threading
+from collections import deque
 from dataclasses import dataclass
 from typing import Optional
 
@@ -43,7 +44,7 @@ LOST = 2
 class _SummaryFetch:
     """Device->host fetch running on a worker thread. np.asarray releases
     the GIL while it waits on device compute and the D2H transfer, so the
-    fetch overlaps the next frame's host work; `get()` joins and returns
+    fetch overlaps the next frames' host work; `get()` joins and returns
     the landed numpy array."""
 
     def __init__(self, arr):
@@ -58,6 +59,9 @@ class _SummaryFetch:
             self._val = np.asarray(arr)
         except BaseException as e:  # surfaced on get()
             self._err = e
+
+    def done(self) -> bool:
+        return not self._thread.is_alive()
 
     def get(self) -> np.ndarray:
         self._thread.join()
@@ -128,9 +132,21 @@ class Tracker:
         self._lm_change_idx = -1
         self._sf_dev = jnp.asarray(self.scale_factors)
         self._isig_dev = jnp.asarray(1.0 / self.level_sigma2)
-        # lag-1 pipeline state: one in-flight frame + device pose chain
-        self._pending = None
+        # lag-N pipeline state: in-flight fused frames (FIFO) + device pose
+        # chain. Frames retire as their ~64 B summary fetches land; the
+        # frame path blocks only when the queue exceeds fused_max_lag —
+        # with the tunnel's ~35 ms D2H latency a lag of 2-3 frames hides
+        # every steady-state fetch completely.
+        self._pending_q: deque = deque()
         self._chain = None
+        # device-resident visible/found accumulators for the current
+        # candidate bundle (fetched+applied at bundle refresh, not per frame)
+        self._acc = None
+        self._acc_pending: list = []   # [(BackgroundFetch, ids, n), ...]
+        # KF policy suppression: frames dispatched before this id were
+        # matched against a pre-keyframe candidate bundle — their tracked
+        # counts must not drive the ref-ratio keyframe test
+        self._kf_suppress_before = 0
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -188,6 +204,7 @@ class Tracker:
     # ------------------------------------------------------------------
     def process(self, img, timestamp, bird_img=None, bird_mask=None,
                 depth_img=None) -> FrameData:
+        self._apply_landed_acc()
         if self.mapper is not None and self.mapper.poll_background():
             # an overlapped local BA just landed: poses/points moved, so the
             # device pose chain and candidate bundle are stale (the bundle
@@ -248,6 +265,7 @@ class Tracker:
         keyframe events / loop corrections, NOT per frame — the local map
         between keyframes is nearly constant (the reference re-votes it per
         frame from the same covisibility graph, src/Tracking.cc:1676-1790)."""
+        self._harvest_acc()
         if self.ref_kf == INVALID or not self.store.kf_valid[self.ref_kf]:
             self._lm_bundle = None
             return
@@ -280,31 +298,61 @@ class Tracker:
         self._lm_n = n
         self._lm_ref_kf = self.ref_kf
         self._lm_change_idx = store.big_change_idx
+        # fresh accumulators for the new bundle epoch (device zeros — one
+        # cheap fused op, no host traffic)
+        self._acc = (jnp.zeros(cap, jnp.int32), jnp.zeros(cap, jnp.int32))
+
+    def _harvest_acc(self):
+        """Ship the current bundle's visible/found accumulators home on a
+        worker thread; `_apply_landed_acc` folds them into the map-point
+        statistics once the transfer lands (`MapPoint::IncreaseVisible/
+        Found`, src/MapPoint.cc — the reference updates these from the
+        tracking thread; here they batch per bundle epoch)."""
+        if self._acc is None or self._lm_ids is None or self._lm_n == 0:
+            return
+        from ..utils.async_fetch import BackgroundFetch
+
+        self._acc_pending.append(
+            (BackgroundFetch(self._acc), self._lm_ids, self._lm_n))
+        self._acc = None
+
+    def _apply_landed_acc(self, block: bool = False):
+        store = self.store
+        keep = []
+        for fetch, ids, n in self._acc_pending:
+            if block or fetch.done():
+                vis, found = fetch.get()
+                np.add.at(store.mp_visible, ids[:n], vis[:n])
+                np.add.at(store.mp_found, ids[:n], found[:n])
+            else:
+                keep.append((fetch, ids, n))
+        self._acc_pending = keep
 
     def _process_fused(self, img, timestamp) -> FrameData:
-        """Lag-1 pipelined fused tracking: dispatch frame t on the
-        device-resident pose chain, THEN finalize frame t−1 — its summary
-        fetch overlaps frame t's device compute, so the steady-state frame
-        cost is one transfer leg instead of upload+compute+fetch
-        serialized. The one-frame finalization lag mirrors the reference's
-        mapping-thread lag (`src/System.cc:102-115`); any disruption
-        (keyframe, lost, loop correction) drains the pipeline
-        synchronously."""
+        """Lag-N pipelined fused tracking: dispatch frame t on the
+        device-resident pose chain, then retire every in-flight frame whose
+        ~64 B summary fetch has landed; block only when more than
+        `fused_max_lag` frames are in flight. On the tunnel backend a D2H
+        fetch costs ~35 ms latency regardless of size, so a retirement lag
+        of 2-3 frames hides it completely — the steady-state frame cost is
+        pure host bookkeeping + one async dispatch. The few-frame
+        finalization lag mirrors the reference's mapping-thread lag
+        (`src/System.cc:102-115`)."""
         cfgt = self.cfg.tracking
         cam = self.cfg.camera
         if self._chain is None:
             self._update_last_frame()
             T_last = self.last_frame.Tcw()
-            if self._pending is not None:
-                # the last FINALIZED frame is t−2 (t−1 is still in flight):
-                # advance its pose by one velocity step so the device-side
-                # motion model (vel = T_cur·T_last⁻¹) spans ONE frame, not
-                # two — passing the t−2 pose directly makes every post-reset
-                # prediction overshoot by a full frame step, and with the
-                # overlapped mapping landing results every few frames the
-                # recurring overshoot compounds into tracking collapse
-                # (measured: alternating 1.5°→2.7°→4.7° pose error, then
-                # inliers 790→300→140 on the 300-frame wall bench)
+            # the last FINALIZED frame may be several frames old (newer ones
+            # still in flight): advance its pose by one velocity step per
+            # unfinalized frame so the device-side motion model
+            # (vel = T_cur·T_last⁻¹) spans ONE frame. Passing the stale
+            # pose directly makes every post-reset prediction overshoot,
+            # and with overlapped mapping landing results every few frames
+            # the recurring overshoot compounds into tracking collapse
+            # (measured: alternating 1.5°→2.7°→4.7° pose error, then
+            # inliers 790→300→140 on the 300-frame wall bench).
+            for _ in range(self.frame_id - self.last_frame.frame_id - 1):
                 T_last = self.velocity @ T_last
             T_pred = self.velocity @ T_last
             R_pred = jnp.asarray(np.ascontiguousarray(T_pred[:3, :3]))
@@ -317,6 +365,9 @@ class Tracker:
             # quantize the upload: 4x less host->device traffic, and real
             # camera frames are u8 anyway
             img = np.asarray(img, np.float32)
+        if self._acc is None:
+            P = self._lm_bundle.capacity
+            self._acc = (jnp.zeros(P, jnp.int32), jnp.zeros(P, jnp.int32))
         with self.timer.stage("fused.dispatch"):
             out = fused_track.track_step_mono(
                 img, R_pred, t_pred,
@@ -326,11 +377,13 @@ class Tracker:
                 radius_mult_motion=cfgt.motion_search_radius / 2.5,
                 radius_mult_local=cfgt.local_search_radius / 2.5,
                 R_last=R_last, t_last=t_last,
+                vis_acc=self._acc[0], found_acc=self._acc[1],
             )
-        # prefetch this frame's summary on a worker thread: np.asarray
+        self._acc = (out.vis_acc, out.found_acc)
+        # ship this frame's summary home on a worker thread: np.asarray
         # releases the GIL while it waits on device compute + the D2H
-        # transfer, so the fetch overlaps the NEXT frame's host work and the
-        # lag-1 finalize reads an already-landed result instead of paying a
+        # transfer, so the fetch overlaps subsequent frames' host work and
+        # retirement reads an already-landed result instead of paying a
         # blocking round trip. (jax.Array.copy_to_host_async is NOT used:
         # on the axon tunnel backend it stalls the stream for ~36 s.)
         fetch = _SummaryFetch(out.summary)
@@ -338,46 +391,50 @@ class Tracker:
                        kp=out.kp, R=np.eye(3, dtype=np.float32),
                        t=np.zeros(3, np.float32),
                        kp_mp=np.full(out.kp.capacity, INVALID, np.int64))
-        # prefetch the keyframe-relevant keypoint arrays too (~100 KB ≈
-        # 1.5 ms of link bandwidth; desc_pm1 is NOT fetched — it unpacks
-        # from desc_u8 on host in microseconds): if this frame becomes a
-        # keyframe the data is already host-side, so keyframe creation
-        # skips its blocking fetch
-        from ..utils.async_fetch import BackgroundFetch
-
-        kp = out.kp
-        fd._kp_fetch = BackgroundFetch(
-            (kp.xy, kp.response, kp.angle, kp.octave, kp.valid, kp.desc_u8))
-        fd._finalize_cb = self.flush
+        fd._kp_slot_dev = out.kp_slot
+        fd._lm_ids_snapshot = (self._lm_ids, self._lm_n)
+        fd._finalize_cb = self._flush_through(fd)
         self.frame_id += 1
         snapshot = (self._lm_ids, self._lm_n, self._lm_bundle.capacity,
                     self.store.correction_epoch)
-        disruption = self._finalize_pending()
-        self._pending = (fd, out, fetch, snapshot)
+        self._pending_q.append((fd, out, fetch, snapshot))
+        self._chain = (out.R, out.t, out.R_pred_next, out.t_pred_next)
+        # retire every frame whose summary already landed; enforce max lag
+        disruption = False
+        while self._pending_q and self._pending_q[0][2].done():
+            disruption |= self._finalize_pending()
+        max_lag = cfgt.fused_max_lag if cfgt.fused_lag1 else 0
+        while len(self._pending_q) > max_lag:
+            disruption |= self._finalize_pending()
         if disruption:
-            # frame t was dispatched against pre-disruption state. Its
-            # matches are still valid (the old bundle is a valid local map
-            # — exactly the reference's mapping-thread lag), but its pose
-            # chain predates the map update (local BA / bundle refresh), so
-            # the NEXT prediction must re-sync from the host
+            # frames still in flight were dispatched against
+            # pre-disruption state. Their matches remain valid (the old
+            # bundle is a valid local map — exactly the reference's
+            # mapping-thread lag), but the pose chain predates the map
+            # update (local BA / bundle refresh / keyframe), so the NEXT
+            # prediction must re-sync from the host
             # (_update_last_frame's ref-KF-relative pose refresh).
             self._chain = None
-        else:
-            self._chain = (out.R, out.t, out.R_pred_next, out.t_pred_next)
-        if not cfgt.fused_lag1:
-            if self._finalize_pending():
-                self._chain = None
         return fd
 
+    def _flush_through(self, fd):
+        """Finalizer callback for FrameData.pose_ok: drain the retirement
+        queue up to and including `fd` (the per-frame API contract — the
+        reference's TrackMonocular returns the pose synchronously)."""
+
+        def cb():
+            while any(e[0] is fd for e in self._pending_q):
+                self._finalize_pending()
+        return cb
+
     def _finalize_pending(self, force_fallback: bool = False) -> bool:
-        """Finalize the oldest in-flight fused frame: fetch its summary,
+        """Finalize the oldest in-flight fused frame: read its summary,
         run the state machine (fallbacks, keyframe policy), record the
         trajectory. Returns True on any disruption that invalidates the
         device pose chain."""
-        if self._pending is None:
+        if not self._pending_q:
             return False
-        fd, out, fetch, (lm_ids, lm_n, P, epoch) = self._pending
-        self._pending = None
+        fd, out, fetch, (lm_ids, lm_n, P, epoch) = self._pending_q.popleft()
         fd._finalize_cb = None
         cfgt = self.cfg.tracking
         store = self.store
@@ -393,21 +450,11 @@ class Tracker:
             disruption = True
         elif not stale:
             with self.timer.stage("fused.finalize_fetch"):
-                s = fetch.get()   # already landed via the prefetch thread
-            K = out.kp.capacity
-            info = fused_track.unpack_summary(s, P, K)
-            slot = info["kp_slot"]
+                s = fetch.get()   # landed (or lands) via the fetch thread
+            info = fused_track.unpack_summary(s)
             fd.R, fd.t = info["R"], info["t"]
-            fd.kp_mp = np.where(slot >= 0, lm_ids[np.clip(slot, 0, P - 1)],
-                                INVALID).astype(np.int64)
-            # points culled since this frame was dispatched (lag-1)
-            culled = ~store.mp_valid[fd.kp_mp.clip(0)]
-            fd.kp_mp[culled] = INVALID
-            slot_real = np.arange(P) < lm_n
-            np.add.at(store.mp_visible,
-                      lm_ids[info["visible"] & slot_real], 1)
-            np.add.at(store.mp_found, lm_ids[info["found"] & slot_real], 1)
             n_inl = info["n_inliers"]
+            fd._n_tracked = n_inl
             self._n_last_inliers = n_inl
             thresh = (cfgt.min_localmap_inliers_after_reloc
                       if fd.frame_id - self.last_reloc_frame_id < 30
@@ -419,6 +466,8 @@ class Tracker:
             # (`TrackReferenceKeyFrame` then local map, Tracking.cc:541-548)
             self._update_last_frame()
             fd.kp_mp[:] = INVALID
+            fd._kp_slot_dev = None
+            fd._n_tracked = None
             ok = self._track_reference_kf(fd)
             if ok:
                 ok = self._track_local_map(fd)
@@ -427,12 +476,13 @@ class Tracker:
             self.state = OK
             fd.pose_ok = True
             self._update_velocity(fd)
-            # suppress the KF policy for the frame immediately after a
-            # keyframe: its tracked count was computed against the PRE-KF
-            # candidate bundle (lag-1), so the ref-ratio test would compare
-            # stale counts and mint degenerate tiny-baseline KF pairs
+            # suppress the KF policy for frames dispatched before the last
+            # keyframe's bundle refresh: their tracked counts were computed
+            # against the PRE-KF candidate bundle, so the ref-ratio test
+            # would compare stale counts and mint degenerate
+            # tiny-baseline KF pairs
             if (not self.only_tracking
-                    and fd.frame_id > self.last_kf_frame_id + 1
+                    and fd.frame_id >= self._kf_suppress_before
                     and self._need_new_keyframe(fd)):
                 self._create_keyframe(fd)
                 disruption = True
@@ -448,10 +498,28 @@ class Tracker:
             self._chain = None
         return disruption
 
+    def resolve_associations(self, fd: FrameData):
+        """Materialize fd.kp_mp from the device kp_slot array (fused frames
+        defer this — associations are only needed for keyframes and API
+        queries, not per tracked frame)."""
+        slot_dev = getattr(fd, "_kp_slot_dev", None)
+        if slot_dev is None:
+            return
+        lm_ids, lm_n = fd._lm_ids_snapshot
+        slot = np.asarray(slot_dev)
+        P = len(lm_ids)
+        fd.kp_mp = np.where((slot >= 0) & (slot < lm_n),
+                            lm_ids[np.clip(slot, 0, P - 1)],
+                            INVALID).astype(np.int64)
+        # points culled/merged since this frame was dispatched
+        culled = ~self.store.mp_valid[fd.kp_mp.clip(0)]
+        fd.kp_mp[culled] = INVALID
+        fd._kp_slot_dev = None
+
     def flush(self):
-        """Drain the lag-1 pipeline: finalize any in-flight frame. Call
+        """Drain the retirement queue: finalize every in-flight frame. Call
         before reading trajectories/state that must include every frame."""
-        while self._pending is not None:
+        while self._pending_q:
             self._finalize_pending()
         self._chain = None
 
@@ -789,6 +857,9 @@ class Tracker:
 
     def _track_motion_model(self, fd: FrameData) -> bool:
         last = self.last_frame
+        # a fused last frame defers its associations on device; the motion
+        # model projects exactly those landmarks, so materialize them now
+        self.resolve_associations(last)
         self._update_last_frame()
         T_pred = self.velocity @ last.Tcw()
         R0, t0 = T_pred[:3, :3], T_pred[:3, 3]
@@ -1104,7 +1175,8 @@ class Tracker:
                     and self.mapper._ba_pending is None))
         ref_tracked = int(((store.kf_kp_mp[self.ref_kf] >= 0)
                            & store.kf_kp_valid[self.ref_kf]).sum())
-        tracked = int((fd.kp_mp >= 0).sum())
+        tracked = (fd._n_tracked if fd._n_tracked is not None
+                   else int((fd.kp_mp >= 0).sum()))
         c1 = since >= cfg.max_frames_between_kf
         c2 = tracked < cfg.ref_ratio * max(ref_tracked, 1) and tracked > 15
         return bool(c1 or (c2 and idle))
@@ -1112,19 +1184,33 @@ class Tracker:
     def _create_keyframe(self, fd: FrameData):
         store = self.store
         if not isinstance(fd.kp.xy, np.ndarray):
-            # one batched transfer instead of one implicit fetch per array;
-            # fused frames prefetched this in the background at dispatch
+            # ONE batched transfer for the keypoint arrays + the deferred
+            # kp_slot association readback (~130 KB, once per keyframe —
+            # fetching it per frame saturated the tunnel's ~10 MB/s D2H
+            # link and starved the per-frame summary fetches)
             from ..frontend.keypoints import Keypoints
 
             with self.timer.stage("kf.fetch_kp"):
-                if fd._kp_fetch is not None:
-                    xy, resp, ang, octv, val, u8 = fd._kp_fetch.get()
-                    pm1 = (np.unpackbits(u8, axis=-1, bitorder="little")
-                           .astype(np.int8) * 2 - 1)
-                    fd.kp = Keypoints(xy, resp, ang, octv, val, u8, pm1)
-                    fd._kp_fetch = None
+                kp = fd.kp
+                slot_dev = getattr(fd, "_kp_slot_dev", None)
+                arrays = (kp.xy, kp.response, kp.angle, kp.octave, kp.valid,
+                          kp.desc_u8)
+                if slot_dev is not None:
+                    xy, resp, ang, octv, val, u8, slot = jax.device_get(
+                        arrays + (slot_dev,))
+                    lm_ids, lm_n = fd._lm_ids_snapshot
+                    P = len(lm_ids)
+                    fd.kp_mp = np.where(
+                        (slot >= 0) & (slot < lm_n),
+                        lm_ids[np.clip(slot, 0, P - 1)],
+                        INVALID).astype(np.int64)
+                    fd.kp_mp[~store.mp_valid[fd.kp_mp.clip(0)]] = INVALID
+                    fd._kp_slot_dev = None
                 else:
-                    fd.kp = Keypoints(*jax.device_get(tuple(fd.kp)))
+                    xy, resp, ang, octv, val, u8 = jax.device_get(arrays)
+                pm1 = (np.unpackbits(u8, axis=-1, bitorder="little")
+                       .astype(np.int8) * 2 - 1)
+                fd.kp = Keypoints(xy, resp, ang, octv, val, u8, pm1)
         bird = ((fd.bird_kp, fd.bird_base_xyz)
                 if fd.bird_kp is not None else None)
         kf = store.alloc_keyframe(fd.R, fd.t, fd.frame_id, fd.timestamp, fd.kp,
@@ -1144,6 +1230,9 @@ class Tracker:
         store.update_point_stats(np.unique(fd.kp_mp[ki]), self.scale_factors)
         self.ref_kf = kf
         self.last_kf_frame_id = fd.frame_id
+        # frames already dispatched (ids < self.frame_id) matched against
+        # the pre-keyframe bundle; their counts must not drive the KF policy
+        self._kf_suppress_before = self.frame_id
         if self.mapper is not None:
             with self.timer.stage("kf.mapper"):
                 self.mapper.process_keyframe(kf)

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -77,6 +79,8 @@ def _icp_ransac(key, p1, p2, valid, sigma, chi2_th, min_set, n_hyp, min_inliers)
     return IcpResult(ok, R, t, inliers, n)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("sigma", "n_hyp", "min_inliers"))
 @linalg.f32_matmul
 def icp2d_ransac(key, p1, p2, valid, sigma: float, n_hyp: int = 256,
                  min_inliers: int = 10):
@@ -84,6 +88,8 @@ def icp2d_ransac(key, p1, p2, valid, sigma: float, n_hyp: int = 256,
     return _icp_ransac(key, p1, p2, valid, sigma, CHI2_2D, 2, n_hyp, min_inliers)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("sigma", "n_hyp", "min_inliers"))
 @linalg.f32_matmul
 def icp3d_ransac(key, p1, p2, valid, sigma: float, n_hyp: int = 256,
                  min_inliers: int = 10):

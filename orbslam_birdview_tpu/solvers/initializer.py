@@ -14,6 +14,7 @@ t = (t̂ · t_icp) t̂ (`:579-591`).
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -34,6 +35,10 @@ class InitResult(NamedTuple):
     icp_ok: jnp.ndarray
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("sigma", "bird_sigma", "min_icp_translation", "n_hyp",
+                     "min_parallax", "min_triangulated"))
 @linalg.f32_matmul
 def initialize_two_view(
     key,

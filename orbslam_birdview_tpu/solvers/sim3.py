@@ -8,6 +8,7 @@ frame 1: p1 ≈ s R p2 + t.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -68,26 +69,39 @@ class Sim3Result(NamedTuple):
     n_inliers: jnp.ndarray
 
 
+def _proj(p, fx, fy, cx, cy):
+    z = jnp.maximum(p[..., 2], 1e-6)
+    return jnp.stack([fx * p[..., 0] / z + cx, fy * p[..., 1] / z + cy], -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fx1", "fy1", "cx1", "cy1", "fx2", "fy2", "cx2", "cy2",
+                     "fix_scale", "n_hyp", "min_inliers"))
 @linalg.f32_matmul
 def sim3_ransac(
     key,
     p1_cam,
     p2_cam,
     valid,
-    proj1,
-    proj2,
     max_err1,
     max_err2,
+    fx1: float, fy1: float, cx1: float, cy1: float,
+    fx2: float, fy2: float, cx2: float, cy2: float,
     fix_scale: bool = False,
     n_hyp: int = 256,
     min_inliers: int = 20,
 ):
     """RANSAC Horn between camera-frame point sets of two keyframes.
 
-    proj1/proj2: functions mapping camera-frame points (N,3) to pixels (N,2)
-    (intrinsics of KF1/KF2). max_err1/2: per-point squared-pixel gates
-    (9.21 * sigma2 per octave, `Sim3Solver.cc:131-140`).
+    fx1..cy2: pinhole intrinsics of KF1/KF2 (static — the whole solve is
+    one jitted program; a per-call projection closure would retrace every
+    invocation, costing minutes of remote compile on the tunnel backend).
+    max_err1/2: per-point squared-pixel gates (9.21 * sigma2 per octave,
+    `Sim3Solver.cc:131-140`).
     """
+    proj1 = lambda p: _proj(p, fx1, fy1, cx1, cy1)
+    proj2 = lambda p: _proj(p, fx2, fy2, cx2, cy2)
     idx, hyp_ok = ransac.sample_minimal_sets(key, valid, n_hyp, 3)
     Rs, ts, ss = jax.vmap(lambda i: horn_sim3(p1_cam[i], p2_cam[i], fix_scale=fix_scale))(idx)
 

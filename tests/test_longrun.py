@@ -41,9 +41,17 @@ def test_kitti_scale_longrun():
 
     # capacity growth actually exercised (initial caps: 256 KFs)
     assert store.n_kf > 256, f"only {store.n_kf} KFs allocated"
-    # sustained tracking: large valid map but bounded by culling
+    # sustained tracking: the surviving map must cover the orbit, and
+    # culling must bound it. With a KF forced every ≤4 frames over FOUR
+    # revolutions of the SAME 500-frame circle, every post-rev-1 keyframe
+    # re-views landmarks already observed at the same scale — under the
+    # reference's redundancy criterion (≥90% of points seen by ≥3 other
+    # KFs at same-or-finer scale, src/LocalMapping.cc:642-706) the
+    # steady state retains roughly one revolution's coverage (~1 KF per
+    # 4-6° of arc), not all four revolutions' mints.
     n_valid_kf = int(store.kf_valid[: store.n_kf].sum())
-    assert n_valid_kf > 150, f"only {n_valid_kf} keyframes survived"
+    assert n_valid_kf > 60, f"only {n_valid_kf} keyframes survived"
+    assert n_valid_kf < 300, f"culling unbounded: {n_valid_kf} keyframes"
     # loop revisits detected and closed at least once over 4 revolutions
     assert sys_.loop_closer.n_loops_closed >= 1, "no loop closed"
 

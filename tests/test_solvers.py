@@ -169,21 +169,14 @@ def test_sim3_ransac(rng):
     s_gt, t_gt = 1.4, np.array([0.5, 0.1, -0.4], np.float32)
     p1 = s_gt * (p2 @ R_gt.T) + t_gt
     p1[:10] += rng.uniform(1, 2, (10, 3))
-    Kj = jnp.asarray(K_np)
-
-    def projf(Xc):
-        z = jnp.maximum(Xc[:, 2], 1e-6)
-        return jnp.stack([500.0 * Xc[:, 0] / z + 320, 500.0 * Xc[:, 1] / z + 240], -1)
-
     res = sim3.sim3_ransac(
         KEY,
         jnp.asarray(p1),
         jnp.asarray(p2),
         jnp.ones(n, bool),
-        projf,
-        projf,
-        max_err1=jnp.full(n, 9.21, jnp.float32),
-        max_err2=jnp.full(n, 9.21, jnp.float32),
+        jnp.full(n, 9.21, jnp.float32),
+        jnp.full(n, 9.21, jnp.float32),
+        500.0, 500.0, 320.0, 240.0, 500.0, 500.0, 320.0, 240.0,
     )
     assert bool(res.ok)
     np.testing.assert_allclose(float(res.s), s_gt, rtol=5e-3)
@@ -210,16 +203,11 @@ def test_sim3_ransac_correlated_depth_noise(rng):
         ray = p / np.linalg.norm(p, axis=1, keepdims=True)
         p += ray * rng.normal(0, 0.12, (n, 1)).astype(np.float32)
 
-    def projf(Xc):
-        z = jnp.maximum(Xc[:, 2], 1e-6)
-        return jnp.stack([500.0 * Xc[:, 0] / z + 320,
-                          500.0 * Xc[:, 1] / z + 240], -1)
-
     res = sim3.sim3_ransac(
         KEY, jnp.asarray(p1), jnp.asarray(p2), jnp.ones(n, bool),
-        projf, projf,
-        max_err1=jnp.full(n, 9.21, jnp.float32),
-        max_err2=jnp.full(n, 9.21, jnp.float32),
+        jnp.full(n, 9.21, jnp.float32),
+        jnp.full(n, 9.21, jnp.float32),
+        500.0, 500.0, 320.0, 240.0, 500.0, 500.0, 320.0, 240.0,
     )
     assert bool(res.ok)
     assert int(res.n_inliers) >= 0.6 * n
