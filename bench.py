@@ -71,7 +71,12 @@ def pipeline_fps(n_frames: int = 300):
     sys_._flush()
     times = np.array(times)
     med = float(np.median(times))
-    steady = times[times < 5 * med]   # drop compile frames
+    # drop COMPILE frames only: warmup window + multi-second outliers.
+    # (A 5×median cut would also hide genuine keyframe-path frames —
+    # p90/mean must include the mapping tail, like the reference's
+    # at-exit ttrack stats do.)
+    steady = times[10:]
+    steady = steady[steady < 0.5]
     # trajectory sanity: a perf number from a diverged run is meaningless
     est, gtp = [], []
     for (ts, Tcw), (R_cw, t_cw) in zip(sys_._frame_poses(), gt):
@@ -86,6 +91,9 @@ def pipeline_fps(n_frames: int = 300):
         "median_ms": med * 1e3,
         "mean_ms": float(steady.mean()) * 1e3,
         "p90_ms": float(np.percentile(steady, 90)) * 1e3,
+        # sustained throughput including every keyframe/mapping stall
+        # (compile frames excluded) — the harshest honest aggregate
+        "steady_fps": len(steady) / float(steady.sum()),
         "tracked_frames": len(est),
         "n_frames": done,
         "keyframes": sys_.n_keyframes(),
@@ -182,7 +190,11 @@ def main():
                              ".jax_cache_tpu")
         os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # persist EVERYTHING: on the tunnel backend even a scalar-add
+        # compiles in ~0.35 s remotely; dozens of such eager ops on the
+        # cold path cost ~30 s/run unless cached
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
     pipe = pipeline_fps()
@@ -194,6 +206,7 @@ def main():
         "median_ms": round(pipe["median_ms"], 2),
         "mean_ms": round(pipe["mean_ms"], 2),
         "p90_ms": round(pipe["p90_ms"], 2),
+        "steady_fps": round(pipe["steady_fps"], 2),
         "n_frames": pipe["n_frames"],
         "tracked_frames": pipe["tracked_frames"],
         "keyframes": pipe["keyframes"],

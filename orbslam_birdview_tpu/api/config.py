@@ -49,7 +49,9 @@ class TrackingConfig:
     # link has ~35 ms latency; 2-3 frames of lag hide it completely).
     # fused_lag1=False forces synchronous finalization of every frame.
     fused_lag1: bool = True
-    fused_max_lag: int = 3
+    # at 100+ fps a frame lasts ~5-10 ms while a D2H fetch takes ~35 ms;
+    # 6 frames of lag keep retirement non-blocking across tunnel jitter
+    fused_max_lag: int = 6
     # birdview
     bird_info_scale_pose: float = 1.0
     bird_info_scale_ba: float = 1.0

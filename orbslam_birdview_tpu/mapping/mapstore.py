@@ -296,55 +296,83 @@ class MapStore:
         kfs, kps = np.nonzero(self.kf_kp_mp[: self.n_kf] == mp_id)
         return kfs, kps
 
+    # max observations considered per point for the distinctive-descriptor
+    # median (covisibility-window points rarely exceed this; capping keeps
+    # the batch tensor rectangular)
+    _STATS_OBS_CAP = 16
+
     def update_point_stats(self, mp_ids, scale_factors):
         """Distinctive descriptor (min-median hamming,
         `MapPoint::ComputeDistinctiveDescriptors` `src/MapPoint.cc:242-307`)
         + viewing normal and scale-invariance band
         (`UpdateNormalAndDepth` `:330-371`).
 
-        One pass over the observation map for the whole batch (a per-point
-        scan is O(points × keyframes × kp_cap))."""
+        Fully vectorized over the batch: one pass over the observation map,
+        then rectangular (n_pts, OBS_CAP) gathers — the per-point python
+        loop cost ~15 ms per keyframe on the frame path."""
         mp_ids = np.atleast_1d(np.asarray(mp_ids))
+        if mp_ids.size == 0:
+            return
         obs_map = self.kf_kp_mp[: self.n_kf]
         member = np.zeros(self.max_mp + 1, bool)
         member[mp_ids] = True
         kfs_all, kps_all = np.nonzero(member[obs_map.clip(0)] & (obs_map >= 0))
+        if kfs_all.size == 0:
+            return
         target = obs_map[kfs_all, kps_all]
         order = np.argsort(target, kind="stable")
         kfs_all, kps_all, target = kfs_all[order], kps_all[order], target[order]
-        bounds = np.searchsorted(target, [mp_ids, mp_ids + 1])
-        for mp_id, lo, hi in zip(mp_ids, bounds[0], bounds[1]):
-            kfs = kfs_all[lo:hi]
-            kps = kps_all[lo:hi]
-            if kfs.size == 0:
-                continue
-            descs = self.kf_desc[kfs, kps]
-            if descs.shape[0] > 1:
-                d = hamming_np(descs, descs)
-                med = np.median(d, axis=1)
-                self.mp_desc[mp_id] = descs[np.argmin(med)]
-            else:
-                self.mp_desc[mp_id] = descs[0]
-            # normal: mean unit vector from KF centers to point
-            centers = -np.einsum("nji,nj->ni", self.kf_R[kfs], self.kf_t[kfs])
-            v = self.mp_pos[mp_id][None] - centers
-            nrm = np.linalg.norm(v, axis=1, keepdims=True)
-            v = v / np.maximum(nrm, 1e-9)
-            self.mp_normal[mp_id] = v.mean(0) / max(np.linalg.norm(v.mean(0)), 1e-9)
-            # scale band from the reference keyframe observation
-            ref = self.mp_ref_kf[mp_id]
-            if ref in kfs:
-                j = kps[list(kfs).index(ref)]
-            else:
-                ref, j = kfs[0], kps[0]
-            dist = np.linalg.norm(
-                self.mp_pos[mp_id] + np.einsum("ji,j->i", self.kf_R[ref], self.kf_t[ref])
-            )
-            octave = self.kf_kp_octave[ref, j]
-            sf = scale_factors[octave]
-            n_levels = len(scale_factors)
-            self.mp_max_dist[mp_id] = dist * sf
-            self.mp_min_dist[mp_id] = dist * sf / scale_factors[n_levels - 1]
+        lo, hi = np.searchsorted(target, [mp_ids, mp_ids + 1])
+        n_obs = hi - lo
+        live = n_obs > 0
+        ids, lo, hi, n_obs = mp_ids[live], lo[live], hi[live], n_obs[live]
+        C = self._STATS_OBS_CAP
+        take = np.minimum(n_obs, C)
+        gi = lo[:, None] + np.arange(C)[None, :]         # (N, C)
+        gmask = np.arange(C)[None, :] < take[:, None]
+        gi = np.minimum(gi, len(target) - 1)
+        kfs_g = kfs_all[gi]
+        kps_g = kps_all[gi]
+        # ---- distinctive descriptor: min median pairwise hamming --------
+        descs = self.kf_desc[kfs_g, kps_g]               # (N, C, 32) u8
+        bits = np.unpackbits(descs, axis=-1)             # (N, C, 256)
+        pair = bits[:, :, None, :] != bits[:, None, :, :]
+        d = pair.sum(-1).astype(np.float32)              # (N, C, C)
+        d[~gmask[:, :, None] | ~gmask[:, None, :]] = np.inf
+        # middle element of the sorted distances over the k valid peers —
+        # exactly the reference's vDists[0.5*(N-1)] (MapPoint.cc:242-307)
+        d.sort(axis=2)
+        mid = (take - 1) // 2
+        med = d[np.arange(len(ids))[:, None], np.arange(C)[None, :],
+                mid[:, None]]                            # (N, C)
+        med[~gmask] = np.inf
+        best = np.argmin(med, axis=1)
+        self.mp_desc[ids] = descs[np.arange(len(ids)), best]
+        # ---- viewing normal ---------------------------------------------
+        centers = -np.einsum("ncji,ncj->nci", self.kf_R[kfs_g],
+                             self.kf_t[kfs_g])
+        v = self.mp_pos[ids][:, None, :] - centers
+        v /= np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+        v[~gmask] = 0.0
+        vm = v.sum(1) / np.maximum(take[:, None], 1)
+        self.mp_normal[ids] = (
+            vm / np.maximum(np.linalg.norm(vm, axis=-1, keepdims=True), 1e-9)
+        ).astype(np.float32)
+        # ---- scale band from the reference-KF observation ---------------
+        ref = self.mp_ref_kf[ids]
+        is_ref = (kfs_g == ref[:, None]) & gmask
+        has_ref = is_ref.any(1)
+        j = np.where(has_ref, np.argmax(is_ref, axis=1), 0)
+        rows = np.arange(len(ids))
+        ref_kf = kfs_g[rows, j]
+        ref_kp = kps_g[rows, j]
+        Xc = np.einsum("nij,nj->ni", self.kf_R[ref_kf], self.mp_pos[ids]) \
+            + self.kf_t[ref_kf]
+        dist = np.linalg.norm(Xc, axis=-1)
+        octave = self.kf_kp_octave[ref_kf, ref_kp]
+        sf = scale_factors[np.clip(octave, 0, len(scale_factors) - 1)]
+        self.mp_max_dist[ids] = dist * sf
+        self.mp_min_dist[ids] = dist * sf / scale_factors[-1]
 
     def update_bird_point_desc(self, bmp_ids):
         obs_map = self.kf_bird_mp[: self.n_kf]

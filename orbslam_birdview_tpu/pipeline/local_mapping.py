@@ -391,30 +391,31 @@ class LocalMapper:
         bmp_slot = np.full(store.max_bmp, -1, np.int64)
         bmp_slot[bmp_ids] = np.arange(n_bmp) + n_mp
 
-        # mono edges (+ stereo where depth available)
-        e_cam, e_pt, e_obs, e_info = [], [], [], []
+        # mono edges (+ stereo where depth available) — one vectorized
+        # sweep over the whole window instead of a per-KF python loop
+        obs_win = store.kf_kp_mp[all_kfs]                        # (W, C)
+        hit = ((obs_win >= 0) & (mp_slot[obs_win.clip(0)] >= 0)
+               & store.kf_kp_valid[all_kfs])
+        wi, ki = np.nonzero(hit)
+        cam_slot = np.array([kf_slot[int(k)] for k in all_kfs], np.int64)
+        oct_ = store.kf_kp_octave[all_kfs[wi], ki]
+        info_all = 1.0 / self.level_sigma2[
+            np.clip(oct_, 0, len(self.level_sigma2) - 1)]
+        ur = store.kf_kp_ur[all_kfs[wi], ki]
+        st = ur > 0
+        mono = ~st
+        e_cam = [cam_slot[wi[mono]]]
+        e_pt = [mp_slot[obs_win[wi[mono], ki[mono]]]]
+        e_obs = [store.kf_kp_xy[all_kfs[wi[mono]], ki[mono]]]
+        e_info = [info_all[mono]]
         s_cam, s_pt, s_obs, s_info = [], [], [], []
-        for k in all_kfs:
-            slot = kf_slot[int(k)]
-            kp_mp = store.kf_kp_mp[k]
-            ki = np.nonzero((kp_mp >= 0) & (mp_slot[kp_mp.clip(0)] >= 0)
-                            & store.kf_kp_valid[k])[0]
-            oct_ = store.kf_kp_octave[k][ki]
-            info = 1.0 / self.level_sigma2[np.clip(oct_, 0, len(self.level_sigma2) - 1)]
-            ur = store.kf_kp_ur[k][ki]
-            stereo_mask = ur > 0
-            mono_mask = ~stereo_mask
-            e_cam += [np.full(mono_mask.sum(), slot)]
-            e_pt += [mp_slot[kp_mp[ki[mono_mask]]]]
-            e_obs += [store.kf_kp_xy[k][ki[mono_mask]]]
-            e_info += [info[mono_mask]]
-            if stereo_mask.any():
-                s_cam += [np.full(stereo_mask.sum(), slot)]
-                s_pt += [mp_slot[kp_mp[ki[stereo_mask]]]]
-                s_obs += [np.concatenate(
-                    [store.kf_kp_xy[k][ki[stereo_mask]],
-                     ur[stereo_mask][:, None]], 1)]
-                s_info += [info[stereo_mask]]
+        if st.any():
+            s_cam = [cam_slot[wi[st]]]
+            s_pt = [mp_slot[obs_win[wi[st], ki[st]]]]
+            s_obs = [np.concatenate(
+                [store.kf_kp_xy[all_kfs[wi[st]], ki[st]],
+                 ur[st][:, None]], 1)]
+            s_info = [info_all[st]]
         # bird edges
         b_cam, b_pt, b_obs, b_info = [], [], [], []
         if n_bmp:

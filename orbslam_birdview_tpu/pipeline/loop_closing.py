@@ -70,6 +70,8 @@ class LoopCloser:
         self.last_loop_kf = -(10 ** 9)
         self.rng_key = jax.random.PRNGKey(42)
         self.n_loops_closed = 0
+        self._voc_thread = None
+        self._voc_result = None
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -94,20 +96,42 @@ class LoopCloser:
         )
 
     def _maybe_bootstrap_vocab(self):
+        """Train a vocabulary from the young map's own descriptors on a
+        WORKER thread (numpy k-majority releases the GIL in its BLAS
+        kernels): the reference front-loads its 1M-word vocabulary load
+        before tracking starts (src/System.cc:70-83), but here training
+        lands mid-run — doing it inline cost a 1-2 s spike on one tracked
+        frame. Until it finishes, loop closing simply starts later."""
         store = self.store
         if self.voc is not None or store.n_kf < 5:
+            return
+        if self._voc_thread is not None:
+            if self._voc_thread.is_alive():
+                return
+            self._voc_thread = None
+            if self._voc_result is not None:
+                self.voc = self._voc_result
+                self._voc_result = None
+                self.kfdb = KeyFrameDatabase(self.voc, store)
+                for kf in store.valid_kf_ids():
+                    self.kfdb.add_keyframe(int(kf), self._kp_of(int(kf)))
             return
         descs = []
         for kf in store.valid_kf_ids():
             d = store.kf_desc[kf][store.kf_kp_valid[kf]]
             descs.append(d)
         all_d = np.concatenate(descs)
-        pm1 = np.asarray(unpack_bits_to_pm1(jnp.asarray(all_d)))
-        self.voc = vocab_mod.train_vocabulary(
-            pm1, branching=8, depth=3, seed=0, max_train=20000)
-        self.kfdb = KeyFrameDatabase(self.voc, store)
-        for kf in store.valid_kf_ids():
-            self.kfdb.add_keyframe(int(kf), self._kp_of(int(kf)))
+        pm1 = (np.unpackbits(all_d, axis=-1, bitorder="little")
+               .astype(np.int8) * 2 - 1)
+
+        def train():
+            self._voc_result = vocab_mod.train_vocabulary(
+                pm1, branching=8, depth=3, seed=0, max_train=20000)
+
+        import threading
+
+        self._voc_thread = threading.Thread(target=train, daemon=True)
+        self._voc_thread.start()
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int) -> bool:

@@ -147,6 +147,10 @@ class Tracker:
         # matched against a pre-keyframe candidate bundle — their tracked
         # counts must not drive the ref-ratio keyframe test
         self._kf_suppress_before = 0
+        # deferred keyframe creation: (fd, BackgroundFetch) while the
+        # keypoint arrays + associations ride home; creation completes on
+        # a later frame so the ~60 ms fetch never blocks the frame path
+        self._kf_pending = None
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -205,6 +209,7 @@ class Tracker:
     def process(self, img, timestamp, bird_img=None, bird_mask=None,
                 depth_img=None) -> FrameData:
         self._apply_landed_acc()
+        self._complete_pending_keyframe()
         if self.mapper is not None and self.mapper.poll_background():
             # an overlapped local BA just landed: poses/points moved, so the
             # device pose chain and candidate bundle are stale (the bundle
@@ -483,9 +488,23 @@ class Tracker:
             # tiny-baseline KF pairs
             if (not self.only_tracking
                     and fd.frame_id >= self._kf_suppress_before
+                    and self._kf_pending is None
                     and self._need_new_keyframe(fd)):
-                self._create_keyframe(fd)
-                disruption = True
+                if (isinstance(fd.kp.xy, np.ndarray)
+                        or fd._kp_slot_dev is None):
+                    self._create_keyframe(fd)
+                    disruption = True
+                else:
+                    # defer: ship the keypoint arrays + associations home
+                    # in the background; creation completes on a later
+                    # frame (the reference's mapping thread also consumes
+                    # keyframes with a queue lag, src/LocalMapping.cc:47)
+                    from ..utils.async_fetch import BackgroundFetch
+
+                    kp = fd.kp
+                    self._kf_pending = (fd, BackgroundFetch(
+                        (kp.xy, kp.response, kp.angle, kp.octave, kp.valid,
+                         kp.desc_u8, fd._kp_slot_dev)))
         else:
             if self.store.kf_valid.sum() <= 5:
                 self.reset_requested = True
@@ -516,11 +535,38 @@ class Tracker:
         fd.kp_mp[culled] = INVALID
         fd._kp_slot_dev = None
 
+    def _complete_pending_keyframe(self, block: bool = False):
+        """Finish a deferred keyframe creation once its fetch landed."""
+        if self._kf_pending is None:
+            return
+        fd, fetch = self._kf_pending
+        if not block and not fetch.done():
+            return
+        self._kf_pending = None
+        if self.state != OK:
+            return  # lost in the meantime — stale frame, drop the mint
+        from ..frontend.keypoints import Keypoints
+
+        xy, resp, ang, octv, val, u8, slot = fetch.get()
+        lm_ids, lm_n = fd._lm_ids_snapshot
+        P = len(lm_ids)
+        fd.kp_mp = np.where((slot >= 0) & (slot < lm_n),
+                            lm_ids[np.clip(slot, 0, P - 1)],
+                            INVALID).astype(np.int64)
+        fd.kp_mp[~self.store.mp_valid[fd.kp_mp.clip(0)]] = INVALID
+        fd._kp_slot_dev = None
+        pm1 = (np.unpackbits(u8, axis=-1, bitorder="little")
+               .astype(np.int8) * 2 - 1)
+        fd.kp = Keypoints(xy, resp, ang, octv, val, u8, pm1)
+        self._create_keyframe(fd)
+        self._chain = None
+
     def flush(self):
         """Drain the retirement queue: finalize every in-flight frame. Call
         before reading trajectories/state that must include every frame."""
         while self._pending_q:
             self._finalize_pending()
+        self._complete_pending_keyframe(block=True)
         self._chain = None
 
     # ------------------------------------------------------------------
@@ -583,8 +629,33 @@ class Tracker:
             self._next_key(), x1, x2, jnp.asarray(matched),
             self.cfg.camera.K, sigma=1.0, **bkw,
         )
+        # land the WHOLE result in one batched transfer — serial
+        # np.asarray fetches cost one ~35 ms round trip each (a dozen per
+        # init attempt), and interleaved fetch/dispatch on the tunnel
+        # occasionally wedges for seconds
+        res = initializer.InitResult(*jax.device_get(tuple(res)))
         if not bool(res.ok):
             return
+        # success: batch-fetch both frames' keypoint arrays for map
+        # construction (otherwise alloc_keyframe pays 6 fetches per frame)
+        from ..frontend.keypoints import Keypoints
+
+        ref = self.init_ref
+        fetch = []
+        for f in (ref, fd):
+            fetch.append(tuple(f.kp) if not isinstance(f.kp.xy, np.ndarray)
+                         else None)
+            fetch.append(tuple(f.bird_kp)
+                         if f.bird_kp is not None
+                         and not isinstance(f.bird_kp.xy, np.ndarray)
+                         else None)
+        landed = jax.device_get(fetch)
+        for f, kp_l, bkp_l in ((ref, landed[0], landed[1]),
+                               (fd, landed[2], landed[3])):
+            if kp_l is not None:
+                f.kp = Keypoints(*kp_l)
+            if bkp_l is not None:
+                f.bird_kp = Keypoints(*bkp_l)
         self._create_initial_map(fd, res, idx, bird_idx)
 
     def _create_initial_map(self, fd, res, idx, bird_idx):
