@@ -44,6 +44,7 @@ class TrackingConfig:
     # motion-model + local-map tracking with a single readback per frame
     fused_tracking: bool = True
     fused_point_cap: int = 6144
+    fused_bird_cap: int = 2048   # BEV ground-landmark bundle capacity
     # lag-N pipelining: retire in-flight frames as their summary fetches
     # land, blocking only past `fused_max_lag` frames in flight (the D2H
     # link has ~35 ms latency; 2-3 frames of lag hide it completely).

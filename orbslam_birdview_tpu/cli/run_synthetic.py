@@ -87,3 +87,11 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+    import os
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    # hard-exit: daemon fetch threads blocked inside the runtime can crash
+    # normal interpreter teardown ("FATAL: exception not rethrown")
+    os._exit(0)

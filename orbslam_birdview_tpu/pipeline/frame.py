@@ -38,6 +38,11 @@ class FrameData:
     # or an API consumer asks (Tracker.resolve_associations)
     _kp_slot_dev: Optional[object] = None
     _lm_ids_snapshot: Optional[tuple] = None
+    _bird_slot_dev: Optional[object] = None
+    _bird_ids_snapshot: Optional[tuple] = None
+    # fused frames mint new bird landmarks at keyframe creation (slow-path
+    # frames mint per-frame in _match_bird_from_last instead)
+    _mint_bird: bool = False
     # tracked-landmark count from the device summary (fused frames have no
     # host kp_mp to count until resolved)
     _n_tracked: Optional[int] = None

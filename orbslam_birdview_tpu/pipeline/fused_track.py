@@ -89,6 +89,7 @@ class FusedOutput(NamedTuple):
     found_acc: jnp.ndarray = None    # (P,) int32
     bird_kp: Optional[Keypoints] = None
     bird_base_xyz: Optional[jnp.ndarray] = None  # (Kb,3) base-frame points
+    bird_slot: Optional[jnp.ndarray] = None      # (Kb,) int32 bird-candidate slot
 
     # summary layout (f32):
     # [0:9] R row-major, [9:12] t, [12] n_inliers_front, [13] n_matched,
@@ -113,7 +114,7 @@ def _match_stage(ham, uv, ok, radius, pred_oct, kp_xy, kp_octave,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "fx", "fy", "cx", "cy", "width", "height",
-                     "min_widen"))
+                     "min_widen", "bird_cfg", "bv"))
 def track_step_mono(
     img,
     R_pred,
@@ -131,12 +132,28 @@ def track_step_mono(
     t_last=None,
     vis_acc=None,      # (P,) int32 running visible counters (device)
     found_acc=None,    # (P,) int32 running found counters (device)
+    # ---- optional birdview stream (the fork's signature mode) ----------
+    bird_img=None,     # (Hb,Wb) BEV image
+    bird_mask=None,    # (Hb,Wb) f32 validity mask or None
+    bird_lm: Optional[BirdMapDevice] = None,   # ground-landmark bundle
+    bird_cfg: Optional[orb.ORBConfig] = None,  # static
+    bv=None,           # static BirdviewCamera (hashable NamedTuple)
+    R_bc=None, t_bc=None,    # (3,3),(3,) camera->base extrinsics (device)
+    bird_radius: float = 15.0,   # BEV search window (px)
+    bird_info: float = 400.0,    # info weight per bird edge (1/sigma_m^2)
 ) -> FusedOutput:
     """One fused tracking step. When (R_last, t_last) are given, the step
     also emits the motion-model prediction for the NEXT frame
     (vel·T_cur with vel = T_cur·T_last⁻¹, `Tracking::Track`
     src/Tracking.cc:552-559) so consecutive frames chain on device with no
-    host round trip (lag-1 pipelining)."""
+    host round trip (lag-N pipelining).
+
+    With the bird arguments set, the step also extracts BEV ORB, matches
+    the ground-landmark bundle by projection under each pose estimate, and
+    adds bird point-to-point edges to BOTH pose optimizations — the
+    device-side fusion of `SearchByProjectionBird` + the bird edges of
+    `PoseOptimizationWithBirdview` (src/OptimizerBirdview.cc:299-702).
+    New bird landmarks are minted host-side at keyframes (PARITY.md)."""
     if img.dtype != jnp.float32:
         img = img.astype(jnp.float32)
     kp = orb.extract_orb(img, cfg)
@@ -151,6 +168,47 @@ def track_step_mono(
         return device_ops.frustum_gate(
             R, t, lm.pos, lm.normal, lm.min_dist, lm.max_dist, lm.valid,
             fx, fy, cx, cy, width, height, n_levels, log_scale)
+
+    # ---- birdview stream setup -----------------------------------------
+    have_bird = bird_img is not None and bird_lm is not None
+    bird_args1 = bird_args2 = {}
+    if have_bird:
+        if bird_img.dtype != jnp.float32:
+            bird_img = bird_img.astype(jnp.float32)
+        bkp = orb.extract_orb(bird_img, bird_cfg, mask=bird_mask)
+        base_xy = bv.pixel_to_base_xy(bkp.xy)
+        base_xyz = jnp.concatenate(
+            [base_xy, jnp.zeros((base_xy.shape[0], 1), base_xy.dtype)], -1)
+        R_cb = R_bc.T
+        t_cb = -R_cb @ t_bc
+        obs_pc = base_xyz @ R_cb.T + t_cb    # camera-frame observations
+        bird_pm1 = unpack_bits_to_pm1(bird_lm.desc_u8)
+        bham = matcher.hamming_matrix(bird_pm1, bkp.desc_pm1,
+                                      bird_lm.valid, bkp.valid)
+        Pb = bird_lm.capacity
+        rad_b = jnp.full((Pb,), bird_radius, jnp.float32)
+
+        def bird_match(R, t):
+            # world -> vehicle base of the current pose: Tbc · Tcw
+            Rbw = R_bc @ R
+            tbw = R_bc @ t + t_bc
+            pb = bird_lm.pos @ Rbw.T + tbw
+            on_plane = jnp.abs(pb[:, 2]) < 0.2    # ORBmatcher.cc:1971
+            buv = bv.base_xy_to_pixel(pb[:, :2])
+            bok = on_plane & bv.in_image(buv) & bird_lm.valid
+            return _match_stage(bham, buv, bok, rad_b, None,
+                                bkp.xy, bkp.octave, matcher.TH_HIGH)
+
+        def bird_lm_args(bidx):
+            return dict(
+                Xw_bird=bird_lm.pos,
+                obs_pc_bird=obs_pc[jnp.maximum(bidx, 0)],
+                info_bird=jnp.full((Pb,), bird_info, jnp.float32),
+                valid_bird=bidx >= 0,
+            )
+
+        bidx1 = bird_match(R_pred, t_pred)
+        bird_args1 = bird_lm_args(bidx1)
 
     # ---- stage 1: motion-model match (narrow, widen when starved) ------
     uv1, oct1, radf1, ok1 = gate(R_pred, t_pred)
@@ -168,7 +226,7 @@ def track_step_mono(
     obs1 = kp.xy[jnp.maximum(idx1, 0)]
     res1 = pose_opt.optimize_pose(
         R_pred, t_pred, lm.pos, obs1, info_of(idx1), idx1 >= 0,
-        fx, fy, cx, cy, rounds=2)
+        fx, fy, cx, cy, rounds=2, **bird_args1)
 
     # ---- stage 2: local-map re-match under the refined pose -------------
     uv2, oct2, radf2, ok2 = gate(res1.R, res1.t)
@@ -185,9 +243,20 @@ def track_step_mono(
         + jnp.take_along_axis(
             ham, jnp.maximum(idx2, 0)[:, None], axis=1)[:, 0])
     obs2 = kp.xy[jnp.maximum(idx2, 0)]
+    if have_bird:
+        bidx2 = bird_match(res1.R, res1.t)
+        # keep stage-1 bird inliers where the re-match lost them
+        bidx2 = jnp.where(bidx2 >= 0, bidx2,
+                          jnp.where(res1.inliers_bird, bidx1,
+                                    matcher.INVALID))
+        bidx2 = matcher.resolve_duplicate_targets(
+            bidx2, jnp.where(bidx2 >= 0, 0, matcher.BIG_DIST)
+            + jnp.take_along_axis(
+                bham, jnp.maximum(bidx2, 0)[:, None], axis=1)[:, 0])
+        bird_args2 = bird_lm_args(bidx2)
     res2 = pose_opt.optimize_pose(
         res1.R, res1.t, lm.pos, obs2, info_of(idx2), idx2 >= 0,
-        fx, fy, cx, cy, rounds=4)
+        fx, fy, cx, cy, rounds=4, **bird_args2)
 
     final_inl = res2.inliers_mono & (idx2 >= 0)
     visible = ok1 | ok2
@@ -202,6 +271,19 @@ def track_step_mono(
     kp_slot = kp_slot.at[jnp.where(final_inl, idx2, K)].set(
         slot_ids, mode="drop")
 
+    n_inl_bird = jnp.float32(0.0)
+    bird_out = {}
+    if have_bird:
+        bfinal = res2.inliers_bird & (bird_args2["valid_bird"])
+        n_inl_bird = jnp.sum(bfinal.astype(jnp.int32)).astype(jnp.float32)
+        Kb = bkp.capacity
+        bird_slot = jnp.full((Kb,), -1, jnp.int32)
+        bslot_ids = jnp.arange(Pb, dtype=jnp.int32)
+        bird_slot = bird_slot.at[jnp.where(bfinal, bidx2, Kb)].set(
+            bslot_ids, mode="drop")
+        bird_out = dict(bird_kp=bkp, bird_base_xyz=base_xyz,
+                        bird_slot=bird_slot)
+
     if vis_acc is None:
         vis_acc = jnp.zeros((P,), jnp.int32)
     if found_acc is None:
@@ -212,7 +294,7 @@ def track_step_mono(
         res2.R.reshape(-1), res2.t,
         jnp.stack([n_inl.astype(jnp.float32),
                    n_matched.astype(jnp.float32),
-                   jnp.float32(0.0),
+                   n_inl_bird.astype(jnp.float32),
                    kp.count().astype(jnp.float32)]),
     ])
     R_np, t_np = None, None
@@ -232,7 +314,7 @@ def track_step_mono(
     return FusedOutput(kp=kp, summary=summary, R=res2.R, t=res2.t,
                        R_pred_next=R_np, t_pred_next=t_np,
                        kp_slot=kp_slot, vis_acc=vis_acc,
-                       found_acc=found_acc)
+                       found_acc=found_acc, **bird_out)
 
 
 def unpack_summary(summary_np):

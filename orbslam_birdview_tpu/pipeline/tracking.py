@@ -130,6 +130,13 @@ class Tracker:
         self._lm_n = 0
         self._lm_ref_kf = INVALID
         self._lm_change_idx = -1
+        # fused birdview state: ground-landmark bundle + cached mask upload
+        self._bird_bundle: Optional[fused_track.BirdMapDevice] = None
+        self._bird_ids: Optional[np.ndarray] = None
+        self._bird_n = 0
+        self._bird_mask_dev = None
+        self._R_bc_dev = jnp.asarray(self.R_bc)
+        self._t_bc_dev = jnp.asarray(self.t_bc)
         self._sf_dev = jnp.asarray(self.scale_factors)
         self._isig_dev = jnp.asarray(1.0 / self.level_sigma2)
         # lag-N pipeline state: in-flight fused frames (FIFO) + device pose
@@ -215,16 +222,22 @@ class Tracker:
             # device pose chain and candidate bundle are stale (the bundle
             # refresh is triggered by the big_change_idx bump below)
             self._chain = None
-        if (self.cfg.tracking.fused_tracking and self.state == OK
-                and self.velocity is not None and not self.only_tracking
-                and bird_img is None and depth_img is None
-                and self.cfg.sensor == "mono"):
+        fused_ok = (self.cfg.tracking.fused_tracking and self.state == OK
+                    and self.velocity is not None and not self.only_tracking
+                    and depth_img is None
+                    and ((bird_img is None and self.cfg.sensor == "mono")
+                         or (bird_img is not None
+                             and self.cfg.sensor == "mono_bird")))
+        if fused_ok:
             if (self._lm_bundle is None
                     or self._lm_ref_kf != self.ref_kf
                     or self._lm_change_idx != self.store.big_change_idx):
                 self._refresh_local_map()
-            if self._lm_bundle is not None:
-                return self._process_fused(img, timestamp)
+            if self._lm_bundle is not None and (
+                    bird_img is None or self._bird_bundle is not None):
+                return self._process_fused(img, timestamp,
+                                           bird_img=bird_img,
+                                           bird_mask=bird_mask)
         self.flush()
         fd = self.make_frame(img, timestamp, bird_img, bird_mask, depth_img)
         if self.state == NOT_INITIALIZED:
@@ -306,6 +319,31 @@ class Tracker:
         # fresh accumulators for the new bundle epoch (device zeros — one
         # cheap fused op, no host traffic)
         self._acc = (jnp.zeros(cap, jnp.int32), jnp.zeros(cap, jnp.int32))
+        # BEV ground-landmark bundle for the fused bird stream: landmarks
+        # observed by the same local keyframe set (`SearchByProjectionBird`
+        # projects local-KF bird points, ORBmatcher.cc:1923-1998)
+        if self.cfg.sensor == "mono_bird":
+            bcap = self.cfg.tracking.fused_bird_cap
+            bmp = store.kf_bird_mp[kfs]
+            bids = np.unique(bmp[bmp >= 0])
+            bids = bids[store.bmp_valid[bids]] if len(bids) else bids
+            bids = bids[:bcap]
+            bn = len(bids)
+            if bn:
+                bids_p = np.pad(bids, (0, bcap - bn))
+                bvalid = np.zeros(bcap, bool)
+                bvalid[:bn] = True
+                self._bird_bundle = fused_track.BirdMapDevice(
+                    pos=jnp.asarray(store.bmp_pos[bids_p]),
+                    valid=jnp.asarray(bvalid),
+                    desc_u8=jnp.asarray(store.bmp_desc[bids_p]),
+                )
+                self._bird_ids = bids_p
+                self._bird_n = bn
+            else:
+                self._bird_bundle = None
+                self._bird_ids = None
+                self._bird_n = 0
 
     def _harvest_acc(self):
         """Ship the current bundle's visible/found accumulators home on a
@@ -333,7 +371,8 @@ class Tracker:
                 keep.append((fetch, ids, n))
         self._acc_pending = keep
 
-    def _process_fused(self, img, timestamp) -> FrameData:
+    def _process_fused(self, img, timestamp, bird_img=None,
+                       bird_mask=None) -> FrameData:
         """Lag-N pipelined fused tracking: dispatch frame t on the
         device-resident pose chain, then retire every in-flight frame whose
         ~64 B summary fetch has landed; block only when more than
@@ -373,6 +412,25 @@ class Tracker:
         if self._acc is None:
             P = self._lm_bundle.capacity
             self._acc = (jnp.zeros(P, jnp.int32), jnp.zeros(P, jnp.int32))
+        bird_kw = {}
+        if bird_img is not None:
+            if bird_mask is not None and self._bird_mask_dev is None:
+                # dataset-constant vehicle-footprint mask: upload once
+                self._bird_mask_dev = jnp.asarray(bird_mask, jnp.float32)
+            bcfg = self.cfg.bird_orb or orb.ORBConfig(
+                n_features=self.cfg.orb.n_features, n_levels=4)
+            bird_kw = dict(
+                bird_img=bird_img,
+                bird_mask=(self._bird_mask_dev
+                           if bird_mask is not None else None),
+                bird_lm=self._bird_bundle,
+                bird_cfg=bcfg,
+                bv=self.cfg.birdview,
+                R_bc=self._R_bc_dev, t_bc=self._t_bc_dev,
+                bird_radius=float(cfgt.bird_search_radius),
+                bird_info=float(cfgt.bird_info_scale_pose
+                                / cfgt.bird_sigma_m ** 2),
+            )
         with self.timer.stage("fused.dispatch"):
             out = fused_track.track_step_mono(
                 img, R_pred, t_pred,
@@ -383,6 +441,7 @@ class Tracker:
                 radius_mult_local=cfgt.local_search_radius / 2.5,
                 R_last=R_last, t_last=t_last,
                 vis_acc=self._acc[0], found_acc=self._acc[1],
+                **bird_kw,
             )
         self._acc = (out.vis_acc, out.found_acc)
         # ship this frame's summary home on a worker thread: np.asarray
@@ -398,6 +457,12 @@ class Tracker:
                        kp_mp=np.full(out.kp.capacity, INVALID, np.int64))
         fd._kp_slot_dev = out.kp_slot
         fd._lm_ids_snapshot = (self._lm_ids, self._lm_n)
+        if out.bird_kp is not None:
+            fd.bird_kp = out.bird_kp
+            fd.bird_base_xyz = out.bird_base_xyz
+            fd.bird_mp = np.full(out.bird_kp.capacity, INVALID, np.int64)
+            fd._bird_slot_dev = out.bird_slot
+            fd._bird_ids_snapshot = (self._bird_ids, self._bird_n)
         fd._finalize_cb = self._flush_through(fd)
         self.frame_id += 1
         snapshot = (self._lm_ids, self._lm_n, self._lm_bundle.capacity,
@@ -459,12 +524,15 @@ class Tracker:
             info = fused_track.unpack_summary(s)
             fd.R, fd.t = info["R"], info["t"]
             n_inl = info["n_inliers"]
+            # front + bird inliers gate the frame, like the reference's
+            # TrackLocalMapWithBirdview sum (src/Tracking.cc:1411-1418);
+            # the ref-ratio KF policy compares front counts only
             fd._n_tracked = n_inl
-            self._n_last_inliers = n_inl
+            self._n_last_inliers = n_inl + info["n_inliers_bird"]
             thresh = (cfgt.min_localmap_inliers_after_reloc
                       if fd.frame_id - self.last_reloc_frame_id < 30
                       else cfgt.min_localmap_inliers)
-            ok = (n_inl >= thresh
+            ok = (self._n_last_inliers >= thresh
                   and np.all(np.isfinite(fd.R)) and np.all(np.isfinite(fd.t)))
         if not ok and self.state != LOST:
             # starved or stale — classic fallback for this frame
@@ -472,6 +540,7 @@ class Tracker:
             self._update_last_frame()
             fd.kp_mp[:] = INVALID
             fd._kp_slot_dev = None
+            fd._bird_slot_dev = None
             fd._n_tracked = None
             ok = self._track_reference_kf(fd)
             if ok:
@@ -501,10 +570,8 @@ class Tracker:
                     # keyframes with a queue lag, src/LocalMapping.cc:47)
                     from ..utils.async_fetch import BackgroundFetch
 
-                    kp = fd.kp
                     self._kf_pending = (fd, BackgroundFetch(
-                        (kp.xy, kp.response, kp.angle, kp.octave, kp.valid,
-                         kp.desc_u8, fd._kp_slot_dev)))
+                        self._kf_fetch_items(fd)))
         else:
             if self.store.kf_valid.sum() <= 5:
                 self.reset_requested = True
@@ -535,6 +602,53 @@ class Tracker:
         fd.kp_mp[culled] = INVALID
         fd._kp_slot_dev = None
 
+    def _kf_fetch_items(self, fd):
+        """Device arrays a keyframe mint needs, as one batched transfer."""
+        kp = fd.kp
+        items = [kp.xy, kp.response, kp.angle, kp.octave, kp.valid,
+                 kp.desc_u8, fd._kp_slot_dev]
+        if fd._bird_slot_dev is not None:
+            b = fd.bird_kp
+            items += [b.xy, b.response, b.angle, b.octave, b.valid,
+                      b.desc_u8, fd.bird_base_xyz, fd._bird_slot_dev]
+        return tuple(items)
+
+    def _kf_apply_fetched(self, fd, landed):
+        """Materialize host keypoints + associations from the landed batch."""
+        from ..frontend.keypoints import Keypoints
+
+        store = self.store
+
+        def to_pm1(u8):
+            return (np.unpackbits(u8, axis=-1, bitorder="little")
+                    .astype(np.int8) * 2 - 1)
+
+        xy, resp, ang, octv, val, u8, slot = landed[:7]
+        lm_ids, lm_n = fd._lm_ids_snapshot
+        P = len(lm_ids)
+        fd.kp_mp = np.where((slot >= 0) & (slot < lm_n),
+                            lm_ids[np.clip(slot, 0, P - 1)],
+                            INVALID).astype(np.int64)
+        fd.kp_mp[~store.mp_valid[fd.kp_mp.clip(0)]] = INVALID
+        fd._kp_slot_dev = None
+        fd.kp = Keypoints(xy, resp, ang, octv, val, u8, to_pm1(u8))
+        if fd._bird_slot_dev is not None:
+            bxy, bresp, bang, boct, bval, bu8, base, bslot = landed[7:]
+            bird_ids, bird_n = fd._bird_ids_snapshot
+            if bird_ids is None:
+                bird_ids = np.zeros(1, np.int64)
+                bird_n = 0
+            Pb = len(bird_ids)
+            fd.bird_mp = np.where((bslot >= 0) & (bslot < bird_n),
+                                  bird_ids[np.clip(bslot, 0, Pb - 1)],
+                                  INVALID).astype(np.int64)
+            fd.bird_mp[~store.bmp_valid[fd.bird_mp.clip(0)]] = INVALID
+            fd.bird_kp = Keypoints(bxy, bresp, bang, boct, bval, bu8,
+                                   to_pm1(bu8))
+            fd.bird_base_xyz = base
+            fd._bird_slot_dev = None
+            fd._mint_bird = True
+
     def _complete_pending_keyframe(self, block: bool = False):
         """Finish a deferred keyframe creation once its fetch landed."""
         if self._kf_pending is None:
@@ -545,19 +659,7 @@ class Tracker:
         self._kf_pending = None
         if self.state != OK:
             return  # lost in the meantime — stale frame, drop the mint
-        from ..frontend.keypoints import Keypoints
-
-        xy, resp, ang, octv, val, u8, slot = fetch.get()
-        lm_ids, lm_n = fd._lm_ids_snapshot
-        P = len(lm_ids)
-        fd.kp_mp = np.where((slot >= 0) & (slot < lm_n),
-                            lm_ids[np.clip(slot, 0, P - 1)],
-                            INVALID).astype(np.int64)
-        fd.kp_mp[~self.store.mp_valid[fd.kp_mp.clip(0)]] = INVALID
-        fd._kp_slot_dev = None
-        pm1 = (np.unpackbits(u8, axis=-1, bitorder="little")
-               .astype(np.int8) * 2 - 1)
-        fd.kp = Keypoints(xy, resp, ang, octv, val, u8, pm1)
+        self._kf_apply_fetched(fd, fetch.get())
         self._create_keyframe(fd)
         self._chain = None
 
@@ -1256,32 +1358,19 @@ class Tracker:
         store = self.store
         if not isinstance(fd.kp.xy, np.ndarray):
             # ONE batched transfer for the keypoint arrays + the deferred
-            # kp_slot association readback (~130 KB, once per keyframe —
-            # fetching it per frame saturated the tunnel's ~10 MB/s D2H
-            # link and starved the per-frame summary fetches)
-            from ..frontend.keypoints import Keypoints
-
+            # association readbacks (~130 KB, once per keyframe — fetching
+            # them per frame saturated the tunnel's ~10 MB/s D2H link and
+            # starved the per-frame summary fetches)
             with self.timer.stage("kf.fetch_kp"):
-                kp = fd.kp
-                slot_dev = getattr(fd, "_kp_slot_dev", None)
-                arrays = (kp.xy, kp.response, kp.angle, kp.octave, kp.valid,
-                          kp.desc_u8)
-                if slot_dev is not None:
-                    xy, resp, ang, octv, val, u8, slot = jax.device_get(
-                        arrays + (slot_dev,))
-                    lm_ids, lm_n = fd._lm_ids_snapshot
-                    P = len(lm_ids)
-                    fd.kp_mp = np.where(
-                        (slot >= 0) & (slot < lm_n),
-                        lm_ids[np.clip(slot, 0, P - 1)],
-                        INVALID).astype(np.int64)
-                    fd.kp_mp[~store.mp_valid[fd.kp_mp.clip(0)]] = INVALID
-                    fd._kp_slot_dev = None
+                if fd._kp_slot_dev is not None:
+                    self._kf_apply_fetched(
+                        fd, jax.device_get(self._kf_fetch_items(fd)))
                 else:
-                    xy, resp, ang, octv, val, u8 = jax.device_get(arrays)
-                pm1 = (np.unpackbits(u8, axis=-1, bitorder="little")
-                       .astype(np.int8) * 2 - 1)
-                fd.kp = Keypoints(xy, resp, ang, octv, val, u8, pm1)
+                    from ..frontend.keypoints import Keypoints
+
+                    fd.kp = Keypoints(*jax.device_get(tuple(fd.kp)))
+        if fd._mint_bird and fd.bird_kp is not None:
+            self._mint_bird_points(fd)
         bird = ((fd.bird_kp, fd.bird_base_xyz)
                 if fd.bird_kp is not None else None)
         kf = store.alloc_keyframe(fd.R, fd.t, fd.frame_id, fd.timestamp, fd.kp,
@@ -1312,6 +1401,32 @@ class Tracker:
         if self.cfg.tracking.fused_tracking:
             with self.timer.stage("kf.bundle_refresh"):
                 self._refresh_local_map()
+
+    def _mint_bird_points(self, fd: FrameData):
+        """Mint new BEV ground landmarks from the keyframe's unmatched bird
+        keypoints (the reference's `MatchAndRetriveBirdMP` mints per frame
+        from consecutive-frame matches, src/Tracking.cc:2153-2208; the
+        fused path defers minting to keyframes so tracked frames stay one
+        dispatch — landmarks still enter the bundle at the same cadence,
+        since only keyframe observations feed the local map)."""
+        store = self.store
+        free = (fd.bird_mp < 0) & np.asarray(fd.bird_kp.valid)
+        ki = np.nonzero(free)[0]
+        if len(ki) == 0:
+            return
+        cap = 1024
+        if len(ki) > cap:
+            resp = np.asarray(fd.bird_kp.response)[ki]
+            ki = ki[np.argsort(-resp, kind="stable")[:cap]]
+        # world position from this keyframe's pose: Twb = Twc · Tcb
+        Twb_R = fd.R.T @ self.R_cb
+        Twb_t = fd.R.T @ (self.t_cb - fd.t)
+        base = np.asarray(fd.bird_base_xyz)[ki]
+        wpos = base @ Twb_R.T + Twb_t
+        descs = np.asarray(fd.bird_kp.desc_u8)[ki]
+        bids = store.alloc_bird_points(wpos.astype(np.float32), descs,
+                                       fd.frame_id)
+        fd.bird_mp[ki] = bids
 
     def _seed_depth_points(self, fd: FrameData, kf: int):
         """`Tracking::CreateNewKeyFrame` stereo branch: unproject the closest
