@@ -52,12 +52,11 @@ class System:
         return fd
 
     def track_stereo(self, img_left, img_right, timestamp: float):
-        """Stereo: right image is used to compute per-keypoint disparity
-        depth via the row matcher, then tracking proceeds as depth-assisted."""
-        from ..frontend.stereo import stereo_depth_for_frame
-
-        depth = stereo_depth_for_frame(img_left, img_right, self.cfg)
-        fd = self._track(img_left, timestamp, depth_img=depth)
+        """Stereo: the right image rides into the tracker — the fused path
+        extracts + row-matches it INSIDE the per-frame device program; the
+        slow path computes a splatted depth map first."""
+        fd = self._track(img_left, timestamp,
+                         right_img=np.asarray(img_right))
         return fd
 
     def _track(self, img, timestamp, **kw):

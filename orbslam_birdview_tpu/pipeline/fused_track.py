@@ -90,6 +90,10 @@ class FusedOutput(NamedTuple):
     bird_kp: Optional[Keypoints] = None
     bird_base_xyz: Optional[jnp.ndarray] = None  # (Kb,3) base-frame points
     bird_slot: Optional[jnp.ndarray] = None      # (Kb,) int32 bird-candidate slot
+    # depth modes: per-keypoint depth (RGB-D sample / stereo match) and
+    # right-image u for stereo edges; -1 where unavailable
+    kp_depth: Optional[jnp.ndarray] = None       # (K,) f32
+    kp_ur: Optional[jnp.ndarray] = None          # (K,) f32
 
     # summary layout (f32):
     # [0:9] R row-major, [9:12] t, [12] n_inliers_front, [13] n_matched,
@@ -114,7 +118,7 @@ def _match_stage(ham, uv, ok, radius, pred_oct, kp_xy, kp_octave,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "fx", "fy", "cx", "cy", "width", "height",
-                     "min_widen", "bird_cfg", "bv"))
+                     "min_widen", "bird_cfg", "bv", "bf"))
 def track_step_mono(
     img,
     R_pred,
@@ -141,6 +145,10 @@ def track_step_mono(
     R_bc=None, t_bc=None,    # (3,3),(3,) camera->base extrinsics (device)
     bird_radius: float = 15.0,   # BEV search window (px)
     bird_info: float = 400.0,    # info weight per bird edge (1/sigma_m^2)
+    # ---- depth modes ---------------------------------------------------
+    depth_map=None,    # (H,W) RGB-D depth in meters (<=0 invalid)
+    img_right=None,    # (H,W) right stereo image
+    bf: float = 0.0,   # stereo baseline*fx (static)
 ) -> FusedOutput:
     """One fused tracking step. When (R_last, t_last) are given, the step
     also emits the motion-model prediction for the NEXT frame
@@ -157,6 +165,33 @@ def track_step_mono(
     if img.dtype != jnp.float32:
         img = img.astype(jnp.float32)
     kp = orb.extract_orb(img, cfg)
+    depth_out = {}
+    if depth_map is not None:
+        # RGB-D: nearest-sample the depth image at the keypoints
+        # (`Frame::ComputeStereoFromRGBD`, src/Frame.cc:840-867)
+        dm = depth_map.astype(jnp.float32)
+        H_, W_ = dm.shape
+        xi = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0, W_ - 1)
+        yi = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0, H_ - 1)
+        d = dm[yi, xi]
+        d = jnp.where((d > 0) & kp.valid, d, -1.0)
+        ur = jnp.where(d > 0, kp.xy[:, 0] - bf / jnp.maximum(d, 1e-9), -1.0)
+        depth_out = dict(kp_depth=d, kp_ur=ur)
+    elif img_right is not None:
+        # stereo: extract the right image IN the same program and match
+        # the tracking keypoints directly — no host splat/resample hop
+        # (`Frame::ComputeStereoMatches`, src/Frame.cc:662-838)
+        from ..frontend import stereo as stereo_mod
+
+        if img_right.dtype != jnp.float32:
+            img_right = img_right.astype(jnp.float32)
+        kr = orb.extract_orb(img_right, cfg)
+        sidx, sdisp = stereo_mod.stereo_match(kp, kr)
+        sidx, sdisp, s_ur = stereo_mod.refine_stereo_subpixel(
+            img, img_right, kp, kr, sidx, sdisp)
+        d = jnp.where(sdisp > 0, bf / jnp.maximum(sdisp, 1e-6), -1.0)
+        depth_out = dict(kp_depth=d,
+                         kp_ur=jnp.where(sdisp > 0, s_ur, -1.0))
     P = lm.capacity
     n_levels = scale_factors.shape[0]
     log_scale = jnp.log(scale_factors[1]) if n_levels > 1 else jnp.float32(0.18)
@@ -314,7 +349,7 @@ def track_step_mono(
     return FusedOutput(kp=kp, summary=summary, R=res2.R, t=res2.t,
                        R_pred_next=R_np, t_pred_next=t_np,
                        kp_slot=kp_slot, vis_acc=vis_acc,
-                       found_acc=found_acc, **bird_out)
+                       found_acc=found_acc, **bird_out, **depth_out)
 
 
 def unpack_summary(summary_np):

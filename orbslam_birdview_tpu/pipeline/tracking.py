@@ -214,7 +214,7 @@ class Tracker:
     # main entry
     # ------------------------------------------------------------------
     def process(self, img, timestamp, bird_img=None, bird_mask=None,
-                depth_img=None) -> FrameData:
+                depth_img=None, right_img=None) -> FrameData:
         self._apply_landed_acc()
         self._complete_pending_keyframe()
         if self.mapper is not None and self.mapper.poll_background():
@@ -222,12 +222,16 @@ class Tracker:
             # device pose chain and candidate bundle are stale (the bundle
             # refresh is triggered by the big_change_idx bump below)
             self._chain = None
+        sensor = self.cfg.sensor
+        mode_ok = (
+            (bird_img is None and depth_img is None and right_img is None
+             and sensor == "mono")
+            or (bird_img is not None and sensor == "mono_bird")
+            or (depth_img is not None and sensor == "rgbd")
+            or (right_img is not None and sensor == "stereo"))
         fused_ok = (self.cfg.tracking.fused_tracking and self.state == OK
                     and self.velocity is not None and not self.only_tracking
-                    and depth_img is None
-                    and ((bird_img is None and self.cfg.sensor == "mono")
-                         or (bird_img is not None
-                             and self.cfg.sensor == "mono_bird")))
+                    and mode_ok)
         if fused_ok:
             if (self._lm_bundle is None
                     or self._lm_ref_kf != self.ref_kf
@@ -237,8 +241,16 @@ class Tracker:
                     bird_img is None or self._bird_bundle is not None):
                 return self._process_fused(img, timestamp,
                                            bird_img=bird_img,
-                                           bird_mask=bird_mask)
+                                           bird_mask=bird_mask,
+                                           depth_img=depth_img,
+                                           right_img=right_img)
         self.flush()
+        if right_img is not None and depth_img is None:
+            # slow path for stereo: dense-splatted depth map, then track
+            # depth-assisted (fused frames match the right image in-program)
+            from ..frontend.stereo import stereo_depth_for_frame
+
+            depth_img = stereo_depth_for_frame(img, right_img, self.cfg)
         fd = self.make_frame(img, timestamp, bird_img, bird_mask, depth_img)
         if self.state == NOT_INITIALIZED:
             self._try_initialize(fd)
@@ -372,7 +384,8 @@ class Tracker:
         self._acc_pending = keep
 
     def _process_fused(self, img, timestamp, bird_img=None,
-                       bird_mask=None) -> FrameData:
+                       bird_mask=None, depth_img=None,
+                       right_img=None) -> FrameData:
         """Lag-N pipelined fused tracking: dispatch frame t on the
         device-resident pose chain, then retire every in-flight frame whose
         ~64 B summary fetch has landed; block only when more than
@@ -431,6 +444,14 @@ class Tracker:
                 bird_info=float(cfgt.bird_info_scale_pose
                                 / cfgt.bird_sigma_m ** 2),
             )
+        depth_kw = {}
+        if depth_img is not None:
+            depth_kw = dict(depth_map=jnp.asarray(depth_img),
+                            bf=float(cam.bf))
+        elif right_img is not None:
+            if right_img.dtype != np.uint8:
+                right_img = np.asarray(right_img, np.float32)
+            depth_kw = dict(img_right=right_img, bf=float(cam.bf))
         with self.timer.stage("fused.dispatch"):
             out = fused_track.track_step_mono(
                 img, R_pred, t_pred,
@@ -441,7 +462,7 @@ class Tracker:
                 radius_mult_local=cfgt.local_search_radius / 2.5,
                 R_last=R_last, t_last=t_last,
                 vis_acc=self._acc[0], found_acc=self._acc[1],
-                **bird_kw,
+                **bird_kw, **depth_kw,
             )
         self._acc = (out.vis_acc, out.found_acc)
         # ship this frame's summary home on a worker thread: np.asarray
@@ -463,6 +484,11 @@ class Tracker:
             fd.bird_mp = np.full(out.bird_kp.capacity, INVALID, np.int64)
             fd._bird_slot_dev = out.bird_slot
             fd._bird_ids_snapshot = (self._bird_ids, self._bird_n)
+        if out.kp_depth is not None:
+            # device-resident per-keypoint depth (RGB-D/stereo); fetched
+            # with the keyframe batch when this frame is minted
+            fd.kp_depth = out.kp_depth
+            fd.kp_ur = out.kp_ur
         fd._finalize_cb = self._flush_through(fd)
         self.frame_id += 1
         snapshot = (self._lm_ids, self._lm_n, self._lm_bundle.capacity,
@@ -611,6 +637,9 @@ class Tracker:
             b = fd.bird_kp
             items += [b.xy, b.response, b.angle, b.octave, b.valid,
                       b.desc_u8, fd.bird_base_xyz, fd._bird_slot_dev]
+        if fd.kp_depth is not None and not isinstance(fd.kp_depth,
+                                                      np.ndarray):
+            items += [fd.kp_depth, fd.kp_ur]
         return tuple(items)
 
     def _kf_apply_fetched(self, fd, landed):
@@ -623,6 +652,11 @@ class Tracker:
             return (np.unpackbits(u8, axis=-1, bitorder="little")
                     .astype(np.int8) * 2 - 1)
 
+        landed = list(landed)
+        if fd.kp_depth is not None and not isinstance(fd.kp_depth,
+                                                      np.ndarray):
+            fd.kp_ur = landed.pop()
+            fd.kp_depth = landed.pop()
         xy, resp, ang, octv, val, u8, slot = landed[:7]
         lm_ids, lm_n = fd._lm_ids_snapshot
         P = len(lm_ids)
