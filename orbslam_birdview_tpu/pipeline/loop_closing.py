@@ -130,7 +130,7 @@ class LoopCloser:
 
         import threading
 
-        self._voc_thread = threading.Thread(target=train, daemon=True)
+        self._voc_thread = threading.Thread(target=train, daemon=False)
         self._voc_thread.start()
 
     # ------------------------------------------------------------------

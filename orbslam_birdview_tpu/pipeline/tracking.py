@@ -51,7 +51,7 @@ class _SummaryFetch:
         self._val = None
         self._err: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._run, args=(arr,),
-                                        daemon=True)
+                                        daemon=False)
         self._thread.start()
 
     def _run(self, arr):

@@ -19,7 +19,7 @@ class BackgroundFetch:
         self._val = None
         self._err: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._run, args=(arrays,),
-                                        daemon=True)
+                                        daemon=False)
         self._thread.start()
 
     def _run(self, arrays):
