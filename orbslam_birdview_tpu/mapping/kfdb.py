@@ -181,16 +181,16 @@ class KeyFrameDatabase:
         return min(self.pair_score(kf, int(n)) for n in neighbors)
 
 
-_weight_cache: dict[int, np.ndarray] = {}
+# identity-validated cache (id()-keying is unsound: CPython can reuse a
+# collected array's id for a rebuilt vocabulary — see vocab._centroids_np)
+_weight_cache: list = []    # [device_weights, host_np] or empty
 
 
 def _host_weights(voc: Vocabulary) -> np.ndarray:
-    key = id(voc.weights)
-    w = _weight_cache.get(key)
-    if w is None:
-        _weight_cache.clear()   # one vocabulary per process in practice
-        w = np.asarray(voc.weights)
-        _weight_cache[key] = w
+    if _weight_cache and _weight_cache[0] is voc.weights:
+        return _weight_cache[1]
+    w = np.asarray(voc.weights)
+    _weight_cache[:] = [voc.weights, w]
     return w
 
 

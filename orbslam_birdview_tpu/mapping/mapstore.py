@@ -282,6 +282,12 @@ class MapStore:
         w = self.covis[kf, : self.n_kf].copy()
         w[~self.kf_valid[: self.n_kf]] = 0
         ids = np.nonzero(w >= min_weight)[0]
+        if len(ids) == 0 and w.max(initial=0) > 0:
+            # `KeyFrame::UpdateConnections` keeps at least the single best
+            # neighbor when nothing reaches the threshold — without this a
+            # weakly-attached keyframe has NO triangulation/fuse/BA
+            # neighbors and the local map around it can never grow
+            ids = np.array([int(np.argmax(w))], np.int64)
         order = np.argsort(-w[ids], kind="stable")
         ids = ids[order]
         if top_n is not None:

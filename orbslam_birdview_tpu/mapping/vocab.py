@@ -55,7 +55,10 @@ _host_centroid_cache: list = []  # [device_centroids, host_f32] or empty
 def _centroids_np(voc: Vocabulary) -> np.ndarray:
     if _host_centroid_cache and _host_centroid_cache[0] is voc.centroids:
         return _host_centroid_cache[1]
-    c = np.asarray(voc.centroids, dtype=np.float32)
+    # int8 ±1, NOT f32: at a reference-scale vocabulary (k=10, L=6 → 1M
+    # words, ~111k internal nodes) the f32 table would be 1.1 GB; int8 is
+    # 284 MB — the gathered per-descriptor slices convert on the fly
+    c = np.asarray(voc.centroids, dtype=np.int8)
     _host_centroid_cache[:] = [voc.centroids, c]
     return c
 
@@ -72,12 +75,12 @@ def descend_np(voc: Vocabulary, desc_pm1_np: np.ndarray) -> np.ndarray:
     k, L = voc.branching, voc.depth
     N = desc_pm1_np.shape[0]
     offsets = np.cumsum([0] + [k ** l for l in range(L)])
-    cents = _centroids_np(voc)            # (n_nodes, k, 256) f32
+    cents = _centroids_np(voc)            # (n_nodes, k, 256) int8
     node = np.zeros(N, np.int32)
     d = desc_pm1_np.astype(np.float32)[:, :, None]   # (N,256,1)
     for l in range(L):
-        c = cents[offsets[l] + node]      # (N,k,256)
-        dots = np.matmul(c, d)[:, :, 0]   # (N,k) batched gemv
+        c = cents[offsets[l] + node]      # (N,k,256) — gathered slice only
+        dots = np.matmul(c.astype(np.float32), d)[:, :, 0]  # (N,k) gemv
         node = node * k + np.argmax(dots, 1).astype(np.int32)
     return node
 

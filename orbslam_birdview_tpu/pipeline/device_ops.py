@@ -230,3 +230,28 @@ def fuse_project_batch(
 
     return jax.vmap(one)(R2s, t2s, nb_ok, kp2s_xy, kp2s_octave,
                          kp2s_valid, desc2s_pm1)
+
+
+@jax.jit
+def fuse_project_batch2(
+    R2s, t2s, nb_ok, mp_pos, mp_valid, mp_desc_u8,
+    kp2s_xy, kp2s_octave, kp2s_valid, desc2s_u8,
+    fx, fy, cx, cy, width, height, radius,
+):
+    """Like fuse_project_batch but with a PER-ROW landmark set
+    ((N,P,3) positions / (N,P) validity / (N,P,32) descriptors) — used for
+    the bidirectional SearchInNeighbors pass where the reverse row
+    projects a different point set (the neighbor union) into the current
+    keyframe."""
+    desc2s_pm1 = unpack_bits_to_pm1(desc2s_u8)
+
+    def one(R, t, ok, pos, pval, pdesc, kxy, koct, kval, kdesc):
+        uv, _, pok = project_points(R, t, pos, fx, fy, cx, cy,
+                                    width, height)
+        idx, _ = match_projected(uv, pok & ok & pval, pdesc,
+                                 kxy, koct, kval & ok, kdesc, radius, None,
+                                 max_dist_th=50)
+        return idx
+
+    return jax.vmap(one)(R2s, t2s, nb_ok, mp_pos, mp_valid, mp_desc_u8,
+                         kp2s_xy, kp2s_octave, kp2s_valid, desc2s_pm1)

@@ -281,37 +281,62 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
     def _dispatch_fuse(self, kf: int):
-        """SearchInNeighbors, dispatch half: project kf's points into ALL
-        fuse neighbors in one device program + background fetch."""
+        """SearchInNeighbors, dispatch half. BOTH directions of the
+        reference pass (src/LocalMapping.cc:464-544): project kf's points
+        into ALL fuse neighbors, AND the union of the neighbors' points
+        into kf — the reverse half is what attaches a new keyframe to its
+        predecessors' fresh landmarks (without it, covisibility between
+        consecutive keyframes collapses under fast rotation and
+        triangulation pairs go stale). One device program + background
+        fetch for everything."""
         store = self.store
         cam = self.cfg.camera
         neighbors = store.covisible_kfs(kf, min_weight=15, top_n=10)
-        mp = store.kf_kp_mp[kf]
-        ids = np.unique(mp[mp >= 0])
-        ids = ids[store.mp_valid[ids]]
-        if len(ids) == 0 or len(neighbors) == 0:
+        if len(neighbors) == 0:
             return None
-        # fixed-capacity landmark axis (compile once) + padded neighbor axis:
-        # ONE dispatch and ONE readback for the whole fuse pass
         P = self.cfg.mapping.fuse_point_cap
-        if len(ids) > P:
-            order = np.argsort(-store.mp_n_obs[ids], kind="stable")
-            ids = np.sort(ids[order[:P]])
-        ids_p = np.pad(ids, (0, P - len(ids)))
-        pvalid = np.zeros(P, bool)
-        pvalid[: len(ids)] = True
-        pos = np.where(pvalid[:, None], store.mp_pos[ids_p], 1e9)
-        n_pad = 10
+
+        def bundle(ids):
+            ids = ids[store.mp_valid[ids]]
+            if len(ids) > P:
+                order = np.argsort(-store.mp_n_obs[ids], kind="stable")
+                ids = np.sort(ids[order[:P]])
+            ids_p = np.pad(ids, (0, P - len(ids)))
+            pvalid = np.zeros(P, bool)
+            pvalid[: len(ids)] = True
+            return ids, ids_p, pvalid
+
+        mp = store.kf_kp_mp[kf]
+        ids_f, ids_fp, pval_f = bundle(np.unique(mp[mp >= 0]))
+        nmp = store.kf_kp_mp[neighbors]
+        ids_r, ids_rp, pval_r = bundle(np.unique(nmp[nmp >= 0]))
+        if len(ids_f) == 0 and len(ids_r) == 0:
+            return None
+        # forward rows: kf's points into each neighbor; final row: the
+        # neighbor union into kf. Point sets differ per row, so the
+        # landmark axis is stacked into the batch.
+        n_fwd = 10
+        n_pad = n_fwd + 1
         nbs = np.asarray(
-            list(neighbors) + [neighbors[-1]] * (n_pad - len(neighbors)),
-            np.int64)
+            list(neighbors) + [neighbors[-1]] * (n_fwd - len(neighbors))
+            + [kf], np.int64)
         nb_ok = np.zeros(n_pad, bool)
         nb_ok[: len(neighbors)] = True
-        out = device_ops.fuse_project_batch(
+        nb_ok[-1] = len(ids_r) > 0
+        pos = np.broadcast_to(
+            np.where(pval_f[:, None], store.mp_pos[ids_fp], 1e9),
+            (n_pad, P, 3)).copy()
+        pos[-1] = np.where(pval_r[:, None], store.mp_pos[ids_rp], 1e9)
+        desc = np.broadcast_to(store.mp_desc[ids_fp],
+                               (n_pad, P, 32)).copy()
+        desc[-1] = store.mp_desc[ids_rp]
+        pvalid = np.broadcast_to(pval_f, (n_pad, P)).copy()
+        pvalid[-1] = pval_r
+        out = device_ops.fuse_project_batch2(
             jnp.asarray(store.kf_R[nbs]), jnp.asarray(store.kf_t[nbs]),
             jnp.asarray(nb_ok),
             jnp.asarray(pos.astype(np.float32)), jnp.asarray(pvalid),
-            jnp.asarray(store.mp_desc[ids_p]),
+            jnp.asarray(desc),
             jnp.asarray(store.kf_kp_xy[nbs]),
             jnp.asarray(store.kf_kp_octave[nbs]),
             jnp.asarray(store.kf_kp_valid[nbs]),
@@ -320,23 +345,29 @@ class LocalMapper:
             jnp.full(P, 3.0, jnp.float32))
         from ..utils.async_fetch import BackgroundFetch
 
-        return (neighbors, ids, pvalid), BackgroundFetch(out)
+        meta = (list(neighbors) + [kf], ids_f, pval_f, ids_r, pval_r,
+                ids_fp, ids_rp)
+        return meta, BackgroundFetch(out)
 
     def _apply_fuse(self, kf: int, meta, idx_all):
         """SearchInNeighbors, apply half: merge duplicate landmarks (keep
-        the better-observed one). The common outcome — the neighbor's
+        the better-observed one). The common outcome — the target
         keypoint had NO landmark yet — is one vectorized observation write
-        per neighbor; only true merges fall to the per-pair path."""
+        per row; only true merges fall to the per-pair path. The last row
+        is the REVERSE pass (neighbor-union points into kf)."""
         store = self.store
-        neighbors, ids, pvalid = meta
-        for j, nb in enumerate(neighbors):
+        rows, ids_f, pval_f, ids_r, pval_r, ids_fp, ids_rp = meta
+        for j, nb in enumerate(rows):
             if not store.kf_valid[nb]:
                 continue  # culled while the fuse batch was in flight
-            idx = idx_all[j]
+            reverse = j == len(rows) - 1
+            ids_p = ids_rp if reverse else ids_fp
+            pvalid = pval_r if reverse else pval_f
+            idx = idx_all[j if not reverse else -1]
             fi = np.nonzero((idx >= 0) & pvalid)[0]
             if len(fi) == 0:
                 continue
-            mp_id = ids[fi]
+            mp_id = ids_p[fi]
             tgt = idx[fi].astype(np.int64)
             alive = store.mp_valid[mp_id]   # may have merged away already
             existing = store.kf_kp_mp[nb, tgt]
@@ -352,6 +383,10 @@ class LocalMapper:
                     store.replace_point(a, b)
                 else:
                     store.replace_point(b, a)
+        # the reverse pass changed kf's own observation set
+        # (`SearchInNeighbors` ends with UpdateConnections,
+        # src/LocalMapping.cc:540-544)
+        store.update_covisibility(kf)
 
     # ------------------------------------------------------------------
     def _gather_ba_problem(self, kf_window, fixed_window, pad_to=None,

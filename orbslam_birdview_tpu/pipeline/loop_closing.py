@@ -379,49 +379,60 @@ class LoopCloser:
             store.update_covisibility(int(gk))
 
         # ---- essential graph -------------------------------------------
+        # fully vectorized assembly: spanning-tree + strong-covisibility +
+        # loop edges come out of array ops over the whole keyframe set —
+        # the per-KF python loop with covisibility queries was O(K) on the
+        # critical correction path while tracking is paused
         valid = store.valid_kf_ids()
         K = len(valid)
+        slot_arr = np.full(store.max_kf, -1, np.int64)
+        slot_arr[valid] = np.arange(K)
         slot = {int(k): i for i, k in enumerate(valid)}
-        vR = np.stack([store.kf_R[i] for i in valid])
-        vt = np.stack([store.kf_t[i] for i in valid])
+        vR = store.kf_R[valid].copy()
+        vt = store.kf_t[valid].copy()
         vs = np.ones(K, np.float32)
-        for i in valid:
-            if int(i) in corrected:
-                Rc, tc, sc = corrected[int(i)]
-                vR[slot[int(i)]] = Rc
-                vt[slot[int(i)]] = tc
-                vs[slot[int(i)]] = sc
-        e_i, e_j, mR, mt, ms, e_w = [], [], [], [], [], []
-
-        def add_edge(a, b, weight, from_old=True):
-            if a not in slot or b not in slot:
-                return
-            Ra, ta = old_poses.get(a, (store.kf_R[a], store.kf_t[a]))
-            Rb, tb = old_poses.get(b, (store.kf_R[b], store.kf_t[b]))
-            # measurement maps a into b: S_ba = T_b T_a^-1 (pre-correction)
-            Rr = Rb @ Ra.T
-            tr = tb - Rr @ ta
-            e_i.append(slot[a]); e_j.append(slot[b])
-            mR.append(Rr); mt.append(tr); ms.append(1.0)
-            e_w.append(weight)
-
-        seen = set()
-        for i in valid:
-            i = int(i)
-            p = int(store.kf_parent[i])
-            if p >= 0 and store.kf_valid[p] and (min(i, p), max(i, p)) not in seen:
-                seen.add((min(i, p), max(i, p)))
-                add_edge(p, i, 1.0)
-            for nb in store.covisible_kfs(i, min_weight=100):
-                key = (min(i, int(nb)), max(i, int(nb)))
-                if key not in seen:
-                    seen.add(key)
-                    add_edge(int(nb), i, 1.0)
+        for i, (Rc, tc, sc) in corrected.items():
+            if slot_arr[i] >= 0:
+                vR[slot_arr[i]] = Rc
+                vt[slot_arr[i]] = tc
+                vs[slot_arr[i]] = sc
+        # pre-correction pose table over valid KFs (old_poses snapshot)
+        oR = np.stack([old_poses[int(i)][0] for i in valid])
+        ot = np.stack([old_poses[int(i)][1] for i in valid])
+        # spanning-tree edges (parent -> child)
+        par = store.kf_parent[valid]
+        pok = (par >= 0) & (par < store.max_kf)
+        pok[pok] &= store.kf_valid[par[pok]] & (slot_arr[par[pok]] >= 0)
+        st_a = slot_arr[par[pok]]
+        st_b = slot_arr[valid[pok]]
+        # strong covisibility edges (weight >= 100), upper triangle
+        W = store.covis[np.ix_(valid, valid)]
+        ca, cb = np.nonzero(np.triu(W >= 100, k=1))
+        # historical loop edges
+        la, lb = [], []
         for a, b in store.loop_edges:
-            key = (min(a, b), max(a, b))
-            if key not in seen:
-                seen.add(key)
-                add_edge(a, b, 1.0)
+            if slot_arr[a] >= 0 and slot_arr[b] >= 0:
+                la.append(slot_arr[a])
+                lb.append(slot_arr[b])
+        e_a = np.concatenate([st_a, ca, np.asarray(la, np.int64)])
+        e_b = np.concatenate([st_b, cb, np.asarray(lb, np.int64)])
+        # dedup (a,b) pairs regardless of order
+        lo = np.minimum(e_a, e_b)
+        hi = np.maximum(e_a, e_b)
+        _, first = np.unique(lo * K + hi, return_index=True)
+        e_a, e_b = e_a[first], e_b[first]
+        # measurements from PRE-correction poses: S_ba = T_b · T_a⁻¹
+        Ra, ta = oR[e_a], ot[e_a]
+        Rb, tb = oR[e_b], ot[e_b]
+        mR = np.einsum("nij,nkj->nik", Rb, Ra)
+        mt = tb - np.einsum("nij,nj->ni", mR, ta)
+        ms = np.ones(len(e_a), np.float32)
+        e_i = e_a.tolist()
+        e_j = e_b.tolist()
+        mR = list(mR)
+        mt = list(mt)
+        ms = ms.tolist()
+        e_w = [1.0] * len(e_i)
         # the new loop edge with the MEASURED Sim3 (cand -> kf)
         e_i.append(slot[cand]); e_j.append(slot[kf])
         mR.append(Rl); mt.append(tl); ms.append(sl)
@@ -457,28 +468,30 @@ class LoopCloser:
         R_out = np.asarray(R_out)
         t_out = np.asarray(t_out)
         s_out = np.asarray(s_out)
-        # correct all landmarks via their reference keyframe's graph delta
-        pre_R = vR.copy()
-        pre_t = vt.copy()
-        pre_s = vs.copy()
-        done = np.zeros(store.max_mp, bool)
-        for i in valid:
-            i = int(i)
-            si = slot[i]
-            mp = store.kf_kp_mp[i]
-            ids = np.unique(mp[mp >= 0])
-            ids = ids[store.mp_valid[ids] & ~done[ids]] if len(ids) else ids
-            if len(ids) == 0:
-                continue
-            done[ids] = True
-            p_cam = pre_s[si] * (store.mp_pos[ids] @ pre_R[si].T) + pre_t[si]
-            Rinv, tinv, sinv = _sim3_inv(R_out[si], t_out[si], s_out[si])
-            store.mp_pos[ids] = (sinv * (p_cam @ Rinv.T) + tinv).astype(np.float32)
-        for i in valid:
-            i = int(i)
-            si = slot[i]
-            store.kf_R[i] = R_out[si].astype(np.float32)
-            store.kf_t[i] = (t_out[si] / s_out[si]).astype(np.float32)
+        # correct all landmarks via an observing keyframe's graph delta —
+        # one vectorized ownership pass (first observer in valid order,
+        # like the serial loop it replaces) + batched Sim3 transport
+        pre_R, pre_t, pre_s = vR, vt, vs
+        obs = store.kf_kp_mp[valid]                      # (K, C)
+        wi, ki = np.nonzero(obs >= 0)
+        ids_all = obs[wi, ki]
+        keep = store.mp_valid[ids_all]
+        wi, ids_all = wi[keep], ids_all[keep]
+        order = np.argsort(ids_all, kind="stable")       # stable: first
+        ids_s, wi_s = ids_all[order], wi[order]          # observer wins
+        ids_u, first = np.unique(ids_s, return_index=True)
+        owner = wi_s[first]                              # (M,) KF slot
+        pos = store.mp_pos[ids_u]
+        p_cam = (pre_s[owner, None]
+                 * np.einsum("nij,nj->ni", pre_R[owner], pos)
+                 + pre_t[owner])
+        s_inv = 1.0 / s_out[owner]
+        p_new = s_inv[:, None] * np.einsum(
+            "nji,nj->ni", R_out[owner],
+            p_cam - t_out[owner])
+        store.mp_pos[ids_u] = p_new.astype(np.float32)
+        store.kf_R[valid] = R_out.astype(np.float32)
+        store.kf_t[valid] = (t_out / s_out[:, None]).astype(np.float32)
 
         store.loop_edges.append((cand, kf))
         self.last_loop_kf = kf
@@ -511,16 +524,21 @@ class LoopCloser:
             unpack_bits_to_pm1(jnp.asarray(store.kf_desc[kf])),
             jnp.full(cap, 4.0, jnp.float32), None, max_dist_th=matcher.TH_LOW)
         idx = np.asarray(idx)
-        for fi in np.nonzero(idx >= 0)[0]:
-            mp_new = int(ids_p[fi])
-            tgt = int(idx[fi])
-            existing = store.kf_kp_mp[kf, tgt]
-            if existing == mp_new or not store.mp_valid[mp_new]:
-                continue
-            if existing >= 0 and store.mp_valid[existing]:
-                store.replace_point(int(existing), mp_new)
-            else:
-                store.add_observations(kf, np.array([tgt]), np.array([mp_new]))
+        fi = np.nonzero(idx >= 0)[0]
+        if len(fi) == 0:
+            return
+        mp_new = ids_p[fi]
+        tgt = idx[fi].astype(np.int64)
+        alive = store.mp_valid[mp_new]
+        existing = store.kf_kp_mp[kf, tgt]
+        ex_dead = (existing < 0) | ~store.mp_valid[existing.clip(0)]
+        add = alive & ex_dead
+        store.add_observations(kf, tgt[add], mp_new[add])
+        merge = np.nonzero(alive & ~ex_dead & (existing != mp_new))[0]
+        for m in merge:
+            a, b = int(existing[m]), int(mp_new[m])
+            if store.mp_valid[a] and store.mp_valid[b]:
+                store.replace_point(a, b)
 
     def _global_ba(self, loop_kf: int, iters: int = 10):
         """GlobalBundleAdjustemnt(WithBirdview) after a loop

@@ -576,24 +576,26 @@ class Tracker:
             self.state = OK
             fd.pose_ok = True
             self._update_velocity(fd)
-            # suppress the KF policy for frames dispatched before the last
-            # keyframe's bundle refresh: their tracked counts were computed
-            # against the PRE-KF candidate bundle, so the ref-ratio test
-            # would compare stale counts and mint degenerate
-            # tiny-baseline KF pairs
             if (not self.only_tracking
-                    and fd.frame_id >= self._kf_suppress_before
                     and self._kf_pending is None
                     and self._need_new_keyframe(fd)):
                 if (isinstance(fd.kp.xy, np.ndarray)
-                        or fd._kp_slot_dev is None):
+                        or fd._kp_slot_dev is None
+                        or self._starving(fd)):
+                    # starving: every frame of mint latency costs map
+                    # coverage — create NOW (blocking fetch) so the new
+                    # keyframe's triangulation starts this frame
+                    if fd._kp_slot_dev is not None:
+                        self._kf_apply_fetched(
+                            fd, jax.device_get(self._kf_fetch_items(fd)))
                     self._create_keyframe(fd)
                     disruption = True
                 else:
-                    # defer: ship the keypoint arrays + associations home
-                    # in the background; creation completes on a later
-                    # frame (the reference's mapping thread also consumes
-                    # keyframes with a queue lag, src/LocalMapping.cc:47)
+                    # healthy: ship the keypoint arrays + associations
+                    # home in the background; creation completes on a
+                    # later frame (the reference's mapping thread also
+                    # consumes keyframes with a queue lag,
+                    # src/LocalMapping.cc:47)
                     from ..utils.async_fetch import BackgroundFetch
 
                     self._kf_pending = (fd, BackgroundFetch(
@@ -1370,23 +1372,52 @@ class Tracker:
         # observation count is only complete once its triangulation stage
         # has landed, and comparing against a half-built count mints storms
         # of redundant keyframes that culling then has to undo.
-        # "idle" = the reference keyframe's stages AND its local BA have
-        # landed (the reference's AcceptKeyFrames is false through its whole
-        # mapping iteration including local BA, src/LocalMapping.cc:47-122).
-        # Gating on the full pipeline both keeps ref_tracked a complete
-        # count and stops mint-and-cull churn: without it this policy mints
-        # ~4x the keyframes culling later removes, and every premature mint
-        # stalls the frame path draining the previous one's pipeline.
-        idle = (self.mapper is None
-                or (self.mapper._kf_stage is None
-                    and self.mapper._ba_pending is None))
+        # "idle" = the reference keyframe's triangulate/fuse stages have
+        # landed — ref_tracked is only a complete count after them, and
+        # comparing against a half-built count mints storms of redundant
+        # keyframes. An in-flight ASYNC LOCAL BA does NOT block minting:
+        # the reference interrupts local BA to insert a needed keyframe
+        # (`NeedNewKeyFrame` -> InterruptBA, src/Tracking.cc:1488-1500) —
+        # gating on it here left the policy blind through the whole decay
+        # window, after which tracked fell under the 15-inlier floor and
+        # the timeout minted observation-less keyframes (front stream
+        # collapse on the circular birdview sequence).
+        idle = self.mapper is None or self.mapper._kf_stage is None
         ref_tracked = int(((store.kf_kp_mp[self.ref_kf] >= 0)
                            & store.kf_kp_valid[self.ref_kf]).sum())
         tracked = (fd._n_tracked if fd._n_tracked is not None
                    else int((fd.kp_mp >= 0).sum()))
+        if tracked <= 15:
+            # the reference requires >15 inliers for ANY insertion
+            # (src/Tracking.cc:1480 c2) — a timeout keyframe with no map
+            # attachment poisons the covisibility graph
+            return False
+        if fd.frame_id < self._kf_suppress_before and tracked >= 60:
+            # frame dispatched before the last keyframe's bundle refresh:
+            # its HEALTHY-looking count is against the stale bundle and
+            # must not drive the ref-ratio test (it would mint degenerate
+            # tiny-baseline keyframe pairs). A STARVING stale count is the
+            # opposite case — still starving on the old bundle means map
+            # coverage is burning down faster than the refresh cadence,
+            # and waiting out the suppression window (which scales with
+            # the retirement-queue depth) loses the map under fast
+            # rotation.
+            return False
         c1 = since >= cfg.max_frames_between_kf
-        c2 = tracked < cfg.ref_ratio * max(ref_tracked, 1) and tracked > 15
-        return bool(c1 or (c2 and idle))
+        c2 = tracked < cfg.ref_ratio * max(ref_tracked, 1)
+        if not (c1 or c2):
+            return False
+        if not idle:
+            # InterruptBA analogue (src/Tracking.cc:1488-1500): the
+            # reference forces mapping to become available for a needed
+            # keyframe instead of waiting out its whole iteration. Land
+            # the in-flight stages NOW — process_keyframe would drain
+            # them anyway, so this only moves the wait, and waiting for
+            # organic idle let fast rotations burn through the visible
+            # map before a single mint (front-stream collapse).
+            while self.mapper._kf_stage is not None:
+                self.mapper._advance_kf_stage(block=True)
+        return True
 
     def _create_keyframe(self, fd: FrameData):
         store = self.store
@@ -1430,11 +1461,29 @@ class Tracker:
         if self.mapper is not None:
             with self.timer.stage("kf.mapper"):
                 self.mapper.process_keyframe(kf)
+            if self._starving(fd):
+                # tracking is burning through the visible map (fast
+                # rotation / new territory): land this keyframe's
+                # triangulation NOW so the next frame's candidate bundle
+                # already contains the new points — the overlapped-stage
+                # lag (frames) costs more map coverage than the stall
+                # (the reference's idle mapping thread triangulates
+                # within a frame of insertion)
+                with self.timer.stage("kf.starved_drain"):
+                    while self.mapper._kf_stage is not None:
+                        self.mapper._advance_kf_stage(block=True)
             fd.R = store.kf_R[kf].copy()
             fd.t = store.kf_t[kf].copy()
         if self.cfg.tracking.fused_tracking:
             with self.timer.stage("kf.bundle_refresh"):
                 self._refresh_local_map()
+
+    def _starving(self, fd: FrameData) -> bool:
+        """Tracking holds barely enough map attachment: prioritize map
+        growth over frame-path latency (see _create_keyframe)."""
+        tracked = (fd._n_tracked if fd._n_tracked is not None
+                   else int((fd.kp_mp >= 0).sum()))
+        return tracked < 60
 
     def _mint_bird_points(self, fd: FrameData):
         """Mint new BEV ground landmarks from the keyframe's unmatched bird

@@ -122,6 +122,47 @@ class WallSequence:
         return depth.astype(np.float32)
 
 
+def degrade(img: np.ndarray, i: int, rng: np.random.Generator,
+            noise_std: float = 0.0, blur_px: int = 0,
+            exposure_amp: float = 0.0, exposure_period: int = 80,
+            occluders: int = 0, occluder_size: int = 120,
+            blackout: bool = False) -> np.ndarray:
+    """Hostile-imaging model for stress tests: the clean homography renders
+    have no photometric noise, blur, exposure change, or occlusion —
+    nothing that stresses FAST thresholds or descriptor matching the way
+    TUM/KITTI-class data does (the reference's de-facto acceptance data).
+
+    - noise_std: additive Gaussian intensity noise (sensor noise)
+    - blur_px: horizontal box blur (motion blur), odd width applied
+    - exposure_amp: multiplicative gain swinging ±amp over exposure_period
+      frames (auto-exposure drift)
+    - occluders: N gray rectangles sweeping across the image (dynamic
+      foreground objects with NO valid texture)
+    - blackout: the frame is black (dropped exposure / tunnel)
+    """
+    out = np.asarray(img, np.float32).copy()
+    if blackout:
+        return np.zeros_like(out)
+    if exposure_amp:
+        out *= 1.0 + exposure_amp * np.sin(2 * np.pi * i / exposure_period)
+    if blur_px and blur_px > 1:
+        out = cv2.blur(out, (blur_px, 1))
+    if occluders:
+        h, w = out.shape[:2]
+        for k in range(occluders):
+            # deterministic sweep: each occluder crosses the frame over
+            # ~120 frames at its own phase/row
+            x0 = int((i * (7 + 3 * k) + k * 211) % (w + occluder_size)) \
+                - occluder_size
+            y0 = int((k * 313) % max(h - occluder_size, 1))
+            x1 = max(x0, 0)
+            out[y0:y0 + occluder_size,
+                x1:max(x0 + occluder_size, 0)] = 90.0 + 20.0 * k
+    if noise_std:
+        out += rng.normal(0.0, noise_std, out.shape)
+    return np.clip(out, 0, 255)
+
+
 def render_box_view(cam: PinholeCamera, textures, R_cw: np.ndarray,
                     t_cw: np.ndarray, box_half: float = 8.0,
                     meters_per_tex: float = 0.01) -> np.ndarray:
