@@ -45,6 +45,13 @@ class LocalMapper:
         self._gba_pending = None  # in-flight async global BA (finalize_gba)
         self._gba_rounds_left = 0  # extra GBA rounds to dispatch on landing
         self._kf_stage = None     # keyframe mapping pipeline stage
+        # bumped on LARGE pose rewrites (GBA writeback; loop corrections
+        # bump store.correction_epoch): the tracker's device pose chain is
+        # valid while both are unchanged. Incremental local-BA nudges do
+        # NOT invalidate it — the per-frame pose LM re-converges onto the
+        # updated map, and a chain resync costs a velocity^lag
+        # extrapolation that fails under rotation.
+        self.pose_epoch = 0
 
     def poll_background(self) -> bool:
         """Advance any overlapped work that has finished (keyframe mapping
@@ -841,6 +848,7 @@ class LocalMapper:
                 Xc = old_R[r] @ pos[i] + old_t[r]
                 pos[i] = (store.kf_R[r].T @ (Xc - store.kf_t[r])
                           ).astype(np.float32)
+        self.pose_epoch += 1
         store.big_change_idx += 1
         return True
 

@@ -216,12 +216,24 @@ class Tracker:
     def process(self, img, timestamp, bird_img=None, bird_mask=None,
                 depth_img=None, right_img=None) -> FrameData:
         self._apply_landed_acc()
-        self._complete_pending_keyframe()
-        if self.mapper is not None and self.mapper.poll_background():
-            # an overlapped local BA just landed: poses/points moved, so the
-            # device pose chain and candidate bundle are stale (the bundle
-            # refresh is triggered by the big_change_idx bump below)
-            self._chain = None
+        # force-complete a deferred keyframe mint older than 3 dispatched
+        # frames: the background fetch normally lands within a frame, but
+        # under host contention the worker thread can starve and unbounded
+        # mint latency lets fast motion burn through the visible map
+        force = (self._kf_pending is not None
+                 and self.frame_id - self._kf_pending[0].frame_id >= 3)
+        self._complete_pending_keyframe(block=force)
+        if self.mapper is not None:
+            epoch0 = (self.mapper.pose_epoch, self.store.correction_epoch)
+            self.mapper.poll_background()
+            if epoch0 != (self.mapper.pose_epoch,
+                          self.store.correction_epoch):
+                # a LARGE pose rewrite landed (GBA / loop correction): the
+                # device pose chain predates it. Incremental local-BA
+                # landings keep the chain — the pose LM absorbs their
+                # small deltas, and resyncing costs a velocity^lag
+                # extrapolation that fails under rotation.
+                self._chain = None
         sensor = self.cfg.sensor
         mode_ok = (
             (bird_img is None and depth_img is None and right_img is None
@@ -308,9 +320,29 @@ class Tracker:
         ids = np.unique(mp[mp >= 0])
         ids = ids[store.mp_valid[ids]]
         if len(ids) > cap:
-            # over capacity: keep the best-established points (most
-            # observations), stable order
-            order = np.argsort(-store.mp_n_obs[ids], kind="stable")
+            # over capacity: prefer candidates IN FRONT of the current
+            # camera, then the best-established. Ranking by observation
+            # count alone keeps the oldest landmarks — on a matured map
+            # (e.g. a closed orbit) those sit BEHIND the camera, the
+            # frontier points get dropped, and fused tracking starves at
+            # ~40 inliers while the slow path sees hundreds (measured on
+            # the 500-frame/rev circle once the map passed ~15k points).
+            front = np.ones(len(ids), bool)
+            last = self.last_frame
+            # raw field, NOT the pose_ok property — the property drains
+            # the retirement queue as a side effect
+            if last is not None and last._pose_ok:
+                cam = self.cfg.camera
+                Xc = store.mp_pos[ids] @ last.R.T + last.t
+                z = np.maximum(Xc[:, 2], 1e-6)
+                u = cam.fx * Xc[:, 0] / z + cam.cx
+                v = cam.fy * Xc[:, 1] / z + cam.cy
+                m = 0.5  # half-image margin: tolerate motion until refresh
+                front = ((Xc[:, 2] > 0.05)
+                         & (u >= -m * cam.width) & (u < (1 + m) * cam.width)
+                         & (v >= -m * cam.height)
+                         & (v < (1 + m) * cam.height))
+            order = np.lexsort((-store.mp_n_obs[ids], ~front))
             ids = np.sort(ids[order[:cap]])
         n = len(ids)
         ids_p = np.pad(ids, (0, cap - n))
@@ -588,8 +620,13 @@ class Tracker:
                     if fd._kp_slot_dev is not None:
                         self._kf_apply_fetched(
                             fd, jax.device_get(self._kf_fetch_items(fd)))
-                    self._create_keyframe(fd)
-                    disruption = True
+                    # a keyframe mint only ADDS landmarks: the device pose
+                    # chain stays valid unless mapping actually moved
+                    # poses during the mint (drained local BA / loop) —
+                    # dropping it unconditionally forced a velocity^lag
+                    # extrapolation resync every keyframe, which under
+                    # rotation degraded matching to zero on bad frames
+                    disruption |= self._mint_keyframe_tracked(fd)
                 else:
                     # healthy: ship the keypoint arrays + associations
                     # home in the background; creation completes on a
@@ -696,8 +733,19 @@ class Tracker:
         if self.state != OK:
             return  # lost in the meantime — stale frame, drop the mint
         self._kf_apply_fetched(fd, fetch.get())
+        if self._mint_keyframe_tracked(fd):
+            self._chain = None
+
+    def _mint_keyframe_tracked(self, fd) -> bool:
+        """Create the keyframe; returns True iff keyframe POSES moved in
+        the process (a drained local BA landing / loop correction) — the
+        only case that invalidates the device pose chain."""
+        epoch0 = (self.mapper.pose_epoch if self.mapper is not None else 0,
+                  self.store.correction_epoch)
         self._create_keyframe(fd)
-        self._chain = None
+        epoch1 = (self.mapper.pose_epoch if self.mapper is not None else 0,
+                  self.store.correction_epoch)
+        return epoch0 != epoch1
 
     def flush(self):
         """Drain the retirement queue: finalize every in-flight frame. Call
