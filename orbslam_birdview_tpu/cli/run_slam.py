@@ -41,6 +41,12 @@ def main(argv=None):
     ap.add_argument("--profile-trace", default=None, metavar="DIR",
                     help="capture a JAX profiler trace of the run "
                          "(view with xprof/TensorBoard)")
+    ap.add_argument("--viz-every", type=int, default=0, metavar="N",
+                    help="render an incremental map + frame overlay PNG "
+                         "every N frames into --viz-dir (headless "
+                         "equivalent of the reference's live Pangolin "
+                         "viewer, src/Viewer.cc)")
+    ap.add_argument("--viz-dir", default="viz", metavar="DIR")
     args = ap.parse_args(argv)
 
     from ..api.config import SlamConfig
@@ -127,6 +133,28 @@ def main(argv=None):
                 # perf run is measuring
                 print(f"frame {n}: state={sys_.peek_tracking_state()} "
                       f"kfs={sys_.n_keyframes()} mps={sys_.n_map_points()}")
+            if args.viz_every and n % args.viz_every == 0:
+                import os as _os
+
+                from ..utils import viz
+
+                _os.makedirs(args.viz_dir, exist_ok=True)
+                fd = sys_.tracker.last_frame
+                if fd is not None:
+                    import cv2
+
+                    import jax as _jax
+
+                    sys_.tracker.resolve_associations(fd)
+                    xy, valid = fd.kp.xy, fd.kp.valid
+                    if not isinstance(xy, np.ndarray):
+                        xy, valid = _jax.device_get((xy, valid))
+                    ov = viz.draw_frame(
+                        rec.img, xy, valid,
+                        kp_tracked=fd.kp_mp >= 0,
+                        state_text=f"frame {n} kfs={sys_.n_keyframes()}")
+                    cv2.imwrite(f"{args.viz_dir}/frame_{n:06d}.png", ov)
+                viz.plot_map(sys_.store, f"{args.viz_dir}/map_{n:06d}.png")
             if args.max_frames and n >= args.max_frames:
                 break
 

@@ -18,6 +18,7 @@ The reference's LocalMapping thread is invoked synchronously per keyframe
 from __future__ import annotations
 
 import threading
+import time
 from collections import deque
 from dataclasses import dataclass
 from typing import Optional
@@ -216,12 +217,15 @@ class Tracker:
     def process(self, img, timestamp, bird_img=None, bird_mask=None,
                 depth_img=None, right_img=None) -> FrameData:
         self._apply_landed_acc()
-        # force-complete a deferred keyframe mint older than 3 dispatched
-        # frames: the background fetch normally lands within a frame, but
-        # under host contention the worker thread can starve and unbounded
-        # mint latency lets fast motion burn through the visible map
+        # force-complete a deferred keyframe mint older than 250 ms: the
+        # background fetch normally lands in ~40 ms, but under host
+        # contention the worker thread can starve, and unbounded mint
+        # latency lets fast motion burn through the visible map. (A
+        # frame-COUNT bound is wrong here: at 200 fps three frames pass
+        # before the fetch can possibly land, forcing a block on every
+        # mint.)
         force = (self._kf_pending is not None
-                 and self.frame_id - self._kf_pending[0].frame_id >= 3)
+                 and time.monotonic() - self._kf_pending[2] > 0.25)
         self._complete_pending_keyframe(block=force)
         if self.mapper is not None:
             epoch0 = (self.mapper.pose_epoch, self.store.correction_epoch)
@@ -636,7 +640,7 @@ class Tracker:
                     from ..utils.async_fetch import BackgroundFetch
 
                     self._kf_pending = (fd, BackgroundFetch(
-                        self._kf_fetch_items(fd)))
+                        self._kf_fetch_items(fd)), time.monotonic())
         else:
             if self.store.kf_valid.sum() <= 5:
                 self.reset_requested = True
@@ -726,7 +730,7 @@ class Tracker:
         """Finish a deferred keyframe creation once its fetch landed."""
         if self._kf_pending is None:
             return
-        fd, fetch = self._kf_pending
+        fd, fetch = self._kf_pending[:2]
         if not block and not fetch.done():
             return
         self._kf_pending = None

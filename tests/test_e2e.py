@@ -256,6 +256,7 @@ def test_reset_and_localization_mode():
     seq = WallSequence(CAM, n_frames=20, step=0.03)
     sys_ = System(cfg)
     run_sequence(sys_, (seq.frame(i) for i in range(20)), "mono")
+    sys_._flush()   # settle any in-flight deferred keyframe mint
     n_kf = sys_.n_keyframes()
     assert n_kf >= 2
     # localization-only: no new keyframes
