@@ -53,6 +53,12 @@ class TrackingConfig:
     # at 100+ fps a frame lasts ~5-10 ms while a D2H fetch takes ~35 ms;
     # 6 frames of lag keep retirement non-blocking across tunnel jitter
     fused_max_lag: int = 6
+    # deterministic scheduling: no retirement lag, no deferred keyframe
+    # mints, mapping stages drained per keyframe. The overlapped pipeline's
+    # decisions otherwise depend on wall-clock fetch timing — fine in
+    # production, but load-sensitive tests (shared CI cores) need
+    # reproducible dynamics.
+    synchronous: bool = False
     # birdview
     bird_info_scale_pose: float = 1.0
     bird_info_scale_ba: float = 1.0

@@ -32,14 +32,28 @@ class MonoNode:
 
 
 class StereoNode:
-    """`ImageGrabber::GrabStereo` (ros_stereo.cc) — synchronized pairs."""
+    """`ImageGrabber::GrabStereo` (ros_stereo.cc) — synchronized pairs.
 
-    def __init__(self, system: System, on_pose: Optional[Callable] = None):
+    With `do_rectify`, raw pairs are rectified before tracking, exactly
+    the reference node's `cv::remap` path (`ros_stereo.cc:main` builds
+    initUndistortRectifyMap maps from the LEFT./RIGHT. YAML blocks and
+    `GrabStereo` remaps both images when `do_rectify` is set). Pass either
+    a ready `StereoRectifier` or a config path containing the blocks."""
+
+    def __init__(self, system: System, on_pose: Optional[Callable] = None,
+                 rectifier=None, config_path: Optional[str] = None):
         self.system = system
         self.on_pose = on_pose
+        if rectifier is None and config_path is not None:
+            from ..cli.datasets import parse_rectification
+
+            rectifier = parse_rectification(config_path)
+        self.rectifier = rectifier
 
     def callback(self, img_left: np.ndarray, img_right: np.ndarray,
                  stamp: float):
+        if self.rectifier is not None:
+            img_left, img_right = self.rectifier(img_left, img_right)
         fd = self.system.track_stereo(img_left, img_right, stamp)
         if self.on_pose is not None and fd.pose_ok:
             self.on_pose(stamp, fd.Tcw())

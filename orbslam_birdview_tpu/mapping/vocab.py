@@ -118,7 +118,8 @@ def _kmajority(desc_pm1: np.ndarray, k: int, rng, iters: int = 8):
 
 def train_vocabulary(desc_pm1: np.ndarray, branching: int = 8,
                      depth: int = 3, seed: int = 0,
-                     max_train: int = 30000) -> Vocabulary:
+                     max_train: int = 30000,
+                     iters: int = 8) -> Vocabulary:
     """Train a k^L-word tree from (N,256) ±1 descriptors."""
     rng = np.random.default_rng(seed)
     if len(desc_pm1) > max_train:
@@ -133,7 +134,7 @@ def train_vocabulary(desc_pm1: np.ndarray, branching: int = 8,
         next_clusters = {}
         for j in range(k ** l):
             data = clusters.get(j, np.zeros((0, 256), np.int8))
-            cents = _kmajority(data, k, rng)
+            cents = _kmajority(data, k, rng, iters=iters)
             centroids[offsets[l] + j] = cents
             if l + 1 < L or True:
                 if len(data):

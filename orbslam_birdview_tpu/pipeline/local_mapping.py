@@ -120,7 +120,8 @@ class LocalMapper:
                               self._dispatch_triangulate(kf))
         import os
 
-        if os.environ.get("ORB_SYNC_MAPPING"):
+        if (os.environ.get("ORB_SYNC_MAPPING")
+                or self.cfg.tracking.synchronous):
             # debug fallback: run the whole keyframe path synchronously
             # (no overlap with tracking) — for isolating pipeline effects
             while self._kf_stage is not None:

@@ -125,8 +125,13 @@ class LoopCloser:
                .astype(np.int8) * 2 - 1)
 
         def train():
+            # small budget: 512 words from 8k samples converge to the same
+            # recall on bootstrap-scale maps at ~4x less CPU — the thread
+            # competes with tracking for cores, and a starved trainer
+            # delays loop closing by its whole runtime
             self._voc_result = vocab_mod.train_vocabulary(
-                pm1, branching=8, depth=3, seed=0, max_train=20000)
+                pm1, branching=8, depth=3, seed=0, max_train=8000,
+                iters=4)
 
         import threading
 

@@ -216,7 +216,7 @@ class Tracker:
     # ------------------------------------------------------------------
     def process(self, img, timestamp, bird_img=None, bird_mask=None,
                 depth_img=None, right_img=None) -> FrameData:
-        self._apply_landed_acc()
+        self._apply_landed_acc(block=self.cfg.tracking.synchronous)
         # force-complete a deferred keyframe mint older than 250 ms: the
         # background fetch normally lands in ~40 ms, but under host
         # contention the worker thread can starve, and unbounded mint
@@ -535,7 +535,8 @@ class Tracker:
         disruption = False
         while self._pending_q and self._pending_q[0][2].done():
             disruption |= self._finalize_pending()
-        max_lag = cfgt.fused_max_lag if cfgt.fused_lag1 else 0
+        max_lag = (cfgt.fused_max_lag
+                   if cfgt.fused_lag1 and not cfgt.synchronous else 0)
         while len(self._pending_q) > max_lag:
             disruption |= self._finalize_pending()
         if disruption:
@@ -617,7 +618,8 @@ class Tracker:
                     and self._need_new_keyframe(fd)):
                 if (isinstance(fd.kp.xy, np.ndarray)
                         or fd._kp_slot_dev is None
-                        or self._starving(fd)):
+                        or self._starving(fd)
+                        or cfgt.synchronous):
                     # starving: every frame of mint latency costs map
                     # coverage — create NOW (blocking fetch) so the new
                     # keyframe's triangulation starts this frame

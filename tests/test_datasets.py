@@ -109,3 +109,29 @@ def test_load_euroc_stereo_pairs(tmp_path):
         assert float(r.right[0, 0]) == 10 * (i + 1) + 1
     mono = list(datasets.load_euroc(str(tmp_path)))
     assert len(mono) == 3 and mono[0].right is None
+
+
+def test_stereo_node_rectifies(monkeypatch):
+    """StereoNode with a config path rectifies raw pairs before tracking
+    (the reference `ros_stereo.cc` do_rectify path)."""
+    from orbslam_birdview_tpu.api.ros_adapter import StereoNode
+
+    calls = {}
+
+    class FakeSystem:
+        def track_stereo(self, left, right, stamp):
+            calls["shapes"] = (left.shape, right.shape)
+            calls["vals"] = (float(left[240, 376]), float(right[240, 376]))
+
+            class FD:
+                pose_ok = False
+            return FD()
+
+    node = StereoNode(FakeSystem(), config_path=os.path.join(
+        REPO, "configs", "euroc_stereo.yaml"))
+    assert node.rectifier is not None
+    node.callback(np.full((480, 752), 100, np.float32),
+                  np.full((480, 752), 50, np.float32), 0.0)
+    assert calls["shapes"] == ((480, 752), (480, 752))
+    assert abs(calls["vals"][0] - 100.0) < 1e-3
+    assert abs(calls["vals"][1] - 50.0) < 1e-3

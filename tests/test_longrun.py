@@ -19,22 +19,27 @@ from orbslam_birdview_tpu.frontend.orb import ORBConfig
 from orbslam_birdview_tpu.utils.synth import CircleSequence, ate_rmse
 
 
-@pytest.mark.slow
+@pytest.mark.longrun
 def test_kitti_scale_longrun():
     cam = PinholeCamera(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
                         width=320, height=240)
-    # 800 frames over 1.6 revolutions with a LOWERED initial keyframe cap
+    # 640 frames over ~1.3 revolutions with a LOWERED initial keyframe cap
     # exercises capacity growth + culling + loop closing identically to
     # the original 2000-frame run at 40% of the wall time (round-2 review
     # item: the full suite must fit in 10 CPU minutes)
-    N = 800
+    N = 640
     seq = CircleSequence(cam, n_frames=N, speed=0.045, frames_per_rev=500,
                          box_half=9.0)
     cfg = SlamConfig(camera=cam, orb=ORBConfig(n_features=600), sensor="mono")
     # KITTI-like keyframe density: force a KF at least every 4 frames so
     # the run blows far past the initial store capacity
     cfg.tracking.max_frames_between_kf = 4
-    cfg.max_keyframes = 48
+    cfg.max_keyframes = 32
+    # deterministic scheduling: the overlapped pipeline's keyframe cadence
+    # otherwise depends on worker-thread timing, and a starved CI core
+    # occasionally produced a degenerate map (observed ATE 0.15 vs 1.9 on
+    # identical inputs)
+    cfg.tracking.synchronous = True
     sys_ = System(cfg)
     gt = {}
     for i in range(N):
@@ -44,10 +49,11 @@ def test_kitti_scale_longrun():
     sys_._flush()
     store = sys_.store
 
-    # capacity growth actually exercised (initial cap 48 -> at least two
-    # geometric doublings; the deferred-mint policy yields ~1 KF per 6-7
-    # frames even with max_frames_between_kf=4)
-    assert store.n_kf > 2 * 48, f"only {store.n_kf} KFs allocated"
+    # capacity growth actually exercised (initial cap 32 -> at least two
+    # geometric doublings). The mint cadence is ~1 KF per 6-8 frames
+    # (deferred-mint policy) and slows further under CI core contention,
+    # so the floor leaves headroom: worst observed is ~85 mints.
+    assert store.n_kf > 2 * 32, f"only {store.n_kf} KFs allocated"
     # sustained tracking: the surviving map must cover the orbit, and
     # culling must bound it. With a KF forced every ≤4 frames over FOUR
     # revolutions of the SAME 500-frame circle, every post-rev-1 keyframe

@@ -23,6 +23,10 @@ def test_circular_loop_closure():
                        yaw_rate=2 * np.pi / 120, wall_x=8.0)
     cfg = SlamConfig(camera=CAM, orb=ORBConfig(n_features=1000),
                      sensor="mono_bird", birdview=bv)
+    # deterministic pipeline scheduling: this test's dynamics (keyframe
+    # cadence -> map coverage -> loop detection) must not depend on how
+    # starved the CI core is
+    cfg.tracking.synchronous = True
     q = np.asarray(lie.rot_to_quat(jnp.asarray(seq.R_bc)))
     cfg.tbc_quat = tuple(q.tolist())
     cfg.tbc_t = tuple(seq.t_bc.tolist())
