@@ -20,8 +20,12 @@ driver's budget:
   - the frame loop has an internal deadline (BENCH_BUDGET_S, default
     1200 s): if compiles still blow the budget, the run stops early and
     reports the frames it did process;
-  - the secondary device microbenchmark runs only when the remaining
-    budget allows, and its failure can never suppress the headline line.
+  - the headline JSON line prints and flushes BEFORE any secondary bench
+    (birdview pipeline, device microbench) starts; secondaries run only
+    when the remaining budget allows, and on success the headline line is
+    re-printed enriched with their fields (both lines are complete,
+    parseable records with the same headline metric — a parser may take
+    either the first or the last JSON line).
 """
 import json
 import os
@@ -98,6 +102,54 @@ def pipeline_fps(n_frames: int = 300):
         "n_frames": done,
         "keyframes": sys_.n_keyframes(),
         "ate_rmse_m": float(ate),
+    }
+
+
+def bird_pipeline_fps(n_frames: int = 120):
+    """Secondary: the fork's signature mono+birdview mode end-to-end.
+
+    Round-2 review asked that the fused birdview path land within 2x of
+    mono pipeline fps; this measures it the same way (median per-frame
+    wall time of `track_monocular_with_birdview`, compile frames
+    excluded)."""
+    import jax.numpy as jnp
+
+    from orbslam_birdview_tpu.api.config import SlamConfig
+    from orbslam_birdview_tpu.api.system import System
+    from orbslam_birdview_tpu.core import lie
+    from orbslam_birdview_tpu.core.camera import BirdviewCamera, PinholeCamera
+    from orbslam_birdview_tpu.frontend.orb import ORBConfig
+    from orbslam_birdview_tpu.utils.synth import BirdSequence
+
+    cam = PinholeCamera(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                        width=640, height=480)
+    bv = BirdviewCamera(width=384, height=384)
+    seq = BirdSequence(cam, bv, n_frames=n_frames, speed=0.05,
+                       yaw_rate=0.002)
+    cfg = SlamConfig(camera=cam, orb=ORBConfig(n_features=2000),
+                     sensor="mono_bird", birdview=bv)
+    q = np.asarray(lie.rot_to_quat(jnp.asarray(seq.R_bc)))
+    cfg.tbc_quat = tuple(q.tolist())
+    cfg.tbc_t = tuple(seq.t_bc.tolist())
+    sys_ = System(cfg)
+    times = []
+    for i in range(n_frames):
+        img, bev, _ = seq.frame(i)
+        t0 = time.perf_counter()
+        sys_.track_monocular_with_birdview(
+            np.clip(img, 0, 255).astype(np.uint8),
+            np.clip(bev, 0, 255).astype(np.uint8), None, i / 25.0)
+        times.append(time.perf_counter() - t0)
+        if _remaining() < 120 and i >= 40:
+            break
+    sys_._flush()
+    times = np.array(times)
+    steady = times[10:]
+    steady = steady[steady < 0.5]
+    return {
+        "bird_fps": 1.0 / float(np.median(times)),
+        "bird_steady_fps": len(steady) / float(steady.sum()),
+        "bird_n_frames": len(times),
     }
 
 
@@ -212,15 +264,27 @@ def main():
         "keyframes": pipe["keyframes"],
         "ate_rmse_m": round(pipe["ate_rmse_m"], 4),
     }
-    # secondary microbench only if the budget comfortably allows; its
-    # absence or failure never suppresses the headline
-    if _remaining() > 180:
-        try:
-            line["device_step_fps"] = round(device_step_fps(), 1)
-        except Exception as e:  # pragma: no cover
-            print(f"device_step_fps skipped: {e}", file=sys.stderr)
+    # secondary benches only if the budget comfortably allows; their
+    # absence or failure never suppresses the headline. Print-and-flush
+    # the headline FIRST: the record must exist even if a secondary hangs.
     print(json.dumps(line))
     sys.stdout.flush()
+    extras = {}
+    if _remaining() > 300:
+        try:
+            extras.update(bird_pipeline_fps())
+        except Exception as e:  # pragma: no cover
+            print(f"bird bench skipped: {e}", file=sys.stderr)
+    if _remaining() > 180:
+        try:
+            extras["device_step_fps"] = round(device_step_fps(), 1)
+        except Exception as e:  # pragma: no cover
+            print(f"device_step_fps skipped: {e}", file=sys.stderr)
+    if extras:
+        line.update({k: (round(v, 2) if isinstance(v, float) else v)
+                     for k, v in extras.items()})
+        print(json.dumps(line))
+        sys.stdout.flush()
 
 
 if __name__ == "__main__":

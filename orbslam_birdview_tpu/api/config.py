@@ -51,8 +51,17 @@ class TrackingConfig:
     # fused_lag1=False forces synchronous finalization of every frame.
     fused_lag1: bool = True
     # at 100+ fps a frame lasts ~5-10 ms while a D2H fetch takes ~35 ms;
-    # 6 frames of lag keep retirement non-blocking across tunnel jitter
-    fused_max_lag: int = 6
+    # the lag window must hold ~2 summary blocks so a sealed block's
+    # transfer lands while the next block accumulates
+    fused_max_lag: int = 10
+    # MAX frames per batched summary transfer: the tunnel charges ~35 ms
+    # latency PER FETCH regardless of size and serializes fetches, so
+    # per-frame fetches cap sustained throughput at ~28 fps. Batching is
+    # ADAPTIVE: frames dispatched while a previous summary transfer is in
+    # flight stack into one (B,16) block (amortizing the latency to
+    # ~35/B ms); when the link is fast or tracking is unhealthy, blocks
+    # seal per-frame and behavior is identical to round-3's lag-N path.
+    summary_batch: int = 8
     # deterministic scheduling: no retirement lag, no deferred keyframe
     # mints, mapping stages drained per keyframe. The overlapped pipeline's
     # decisions otherwise depend on wall-clock fetch timing — fine in

@@ -47,6 +47,12 @@ def main(argv=None):
                          "equivalent of the reference's live Pangolin "
                          "viewer, src/Viewer.cc)")
     ap.add_argument("--viz-dir", default="viz", metavar="DIR")
+    ap.add_argument("--live-viewer", type=int, default=None, nargs="?",
+                    const=8765, metavar="PORT",
+                    help="serve a live interactive map viewer (canvas UI "
+                         "with follow-camera / graph / localization-mode "
+                         "menu, the reference's Pangolin viewer "
+                         "src/Viewer.cc:54-169) at http://127.0.0.1:PORT")
     args = ap.parse_args(argv)
 
     from ..api.config import SlamConfig
@@ -95,6 +101,12 @@ def main(argv=None):
 
     sys_ = System(cfg, vocabulary=vocabulary,
                   enable_loop_closing=not args.no_loop_closing)
+    viewer = None
+    if args.live_viewer is not None:
+        from ..utils.live_viewer import LiveViewer
+
+        viewer = LiveViewer(sys_, port=args.live_viewer).start()
+        print(f"live viewer: {viewer.url}")
     import contextlib
 
     from ..utils import profiling
@@ -127,6 +139,10 @@ def main(argv=None):
                 sys_.track_monocular(rec.img, rec.timestamp)
             times.append(time.perf_counter() - t0)
             n += 1
+            if viewer is not None and n % 10 == 0:
+                # overlay refresh ~3 Hz at 30 fps input; device-resident
+                # keypoints fall back to a plain image (no forced fetch)
+                viewer.update_frame(rec.img, sys_.tracker.last_frame)
             if n % 50 == 0:
                 # peek, don't flush: get_tracking_state() drains the lag
                 # pipeline + background BA, destroying the very overlap a

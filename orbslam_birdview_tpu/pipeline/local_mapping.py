@@ -41,6 +41,9 @@ class LocalMapper:
             np.float32,
         )
         self.loop_closer = None  # attached by System
+        from collections import deque
+
+        self._kf_queue: "deque[int]" = deque()  # minted, stages not started
         self._ba_pending = None   # in-flight async local BA (finalize_ba)
         self._gba_pending = None  # in-flight async global BA (finalize_gba)
         self._gba_rounds_left = 0  # extra GBA rounds to dispatch on landing
@@ -79,10 +82,9 @@ class LocalMapper:
         return poses_moved
 
     def drain_background(self):
-        """Blocking drain: finish the keyframe stage pipeline, land local
-        BA, then every remaining GBA round."""
-        while self._kf_stage is not None:
-            self._advance_kf_stage(block=True)
+        """Blocking drain: finish the keyframe stage pipeline (including
+        queued keyframes), land local BA, then every remaining GBA round."""
+        self.drain_kf_stages()
         self.finalize_ba(block=True)
         while self._gba_pending is not None:
             self.finalize_gba(block=True)
@@ -104,42 +106,77 @@ class LocalMapper:
     # pays for host bookkeeping + one dispatch.
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int):
-        from ..utils.profiling import GLOBAL_TIMER as T
-
-        with T.stage("map.drain_prev"):
-            # finish the previous keyframe's stages before starting this one
-            # (the reference's mapping thread pops keyframes one at a time,
-            # LocalMapping.cc:47-122)
-            while self._kf_stage is not None:
-                self._advance_kf_stage(block=True)
-            self.finalize_ba(block=True)
-        with T.stage("map.cull_points"):
-            self._cull_recent_points(kf)
-        with T.stage("map.tri_dispatch"):
-            self._kf_stage = ("triangulate", kf,
-                              self._dispatch_triangulate(kf))
         import os
 
         if (os.environ.get("ORB_SYNC_MAPPING")
                 or self.cfg.tracking.synchronous):
-            # debug fallback: run the whole keyframe path synchronously
+            # deterministic/debug: run the whole keyframe path blocking
             # (no overlap with tracking) — for isolating pipeline effects
-            while self._kf_stage is not None:
-                self._advance_kf_stage(block=True)
+            self.drain_kf_stages()
             self.finalize_ba(block=True)
+            self._kf_queue.append(kf)
+            self.drain_kf_stages()
+            self.finalize_ba(block=True)
+            return
+        # Overlapped: ENQUEUE and return — the mint itself never drains the
+        # previous keyframe's in-flight stages (round-2 review: draining
+        # here serialized the whole mapping tail onto one tracked frame,
+        # ~110-320 ms p95). Stages of consecutive keyframes coexist the
+        # way the reference's mapping thread consumes its queue with lag
+        # (`mlNewKeyFrames`, include/LocalMapping.h:107); the per-frame
+        # poll_background advances them as their fetches land.
+        self._kf_queue.append(kf)
+        self._advance_kf_stage()  # start now if the stage slot is idle
+
+    def drain_kf_stages(self):
+        """Blocking: run every queued keyframe's stages to completion."""
+        while self._kf_stage is not None or self._kf_queue:
+            self._advance_kf_stage(block=True)
+
+    @property
+    def mapping_idle(self) -> bool:
+        """AcceptKeyFrames analogue for the keyframe policy: no stage in
+        flight and nothing queued (`LocalMapping::AcceptKeyFrames`)."""
+        return self._kf_stage is None and not self._kf_queue
 
     def _advance_kf_stage(self, block: bool = False) -> bool:
         """Advance the keyframe mapping pipeline by ready stages:
-        triangulate -> fuse -> {local BA dispatch, KF cull, loop closing}.
+        triangulate -> fuse -> {local BA dispatch, KF cull, loop closing};
+        when the slot frees up, start the next queued keyframe's stages.
         Returns True if the map changed."""
         from ..utils.profiling import GLOBAL_TIMER as T
 
         changed = False
-        while self._kf_stage is not None:
+        while self._kf_stage is not None or self._kf_queue:
+            if self._kf_stage is None:
+                nxt = self._kf_queue.popleft()
+                if not self.store.kf_valid[nxt]:
+                    continue
+                # land a FINISHED local BA before triangulating the next
+                # keyframe (the old drain-at-mint guaranteed refined poses
+                # under the new points). Only the writeback is paid here —
+                # if the BA compute is still running it keeps overlapping
+                # and lands on a later poll instead.
+                pend = self._ba_pending
+                if pend is not None:
+                    fetch = pend.get("fetch")
+                    if fetch is not None:
+                        ready = fetch.done()
+                    else:
+                        ir = getattr(pend["res"].cam_R, "is_ready", None)
+                        ready = ir is None or ir()
+                    if ready and self.finalize_ba(block=True):
+                        changed = True
+                with T.stage("map.cull_points"):
+                    self._cull_recent_points(nxt)
+                with T.stage("map.tri_dispatch"):
+                    self._kf_stage = ("triangulate", nxt,
+                                      self._dispatch_triangulate(nxt))
+                continue
             kind, kf, payload = self._kf_stage
             if not self.store.kf_valid[kf]:
                 self._kf_stage = None
-                break
+                continue
             if kind == "triangulate":
                 if payload is not None:
                     meta, fetch = payload
@@ -162,6 +199,13 @@ class LocalMapper:
                 store = self.store
                 if store.kf_valid[: store.n_kf].sum() > 2:
                     with T.stage("map.ba_dispatch"):
+                        # land the previous keyframe's BA if it is ready;
+                        # if still in flight, dispatching the new BA drops
+                        # it — the reference aborts the running local BA
+                        # when a fresh keyframe arrives (mbAbortBA,
+                        # src/LocalMapping.cc:84-91) for the same reason:
+                        # the new window subsumes the stale result
+                        self.finalize_ba(block=False)
                         self.local_ba(kf, async_dispatch=True)
                 with T.stage("map.kf_cull"):
                     self._cull_keyframes(kf)

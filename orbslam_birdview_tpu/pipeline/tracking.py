@@ -71,6 +71,49 @@ class _SummaryFetch:
         return self._val
 
 
+class _SummaryBlock:
+    """Batches several frames' 16-float summaries into ONE D2H transfer.
+
+    On the tunnel backend every device->host fetch costs ~35 ms latency
+    *regardless of size* and fetches serialize against the stream — one
+    summary fetch per frame caps sustained throughput at ~28 fps no matter
+    how fast the device step is (measured r3: steady 27 fps vs 1.3 ms
+    median dispatch). Stacking B summaries on device (one tiny async op)
+    and fetching the (B,16) block once amortizes the latency to ~35/B ms
+    per frame. The extra retirement lag is bounded by `summary_batch` and
+    collapses to 1 whenever tracking is unhealthy (see _process_fused)."""
+
+    def __init__(self):
+        self.rows: list = []          # per-frame (16,) device arrays
+        self.fetch: Optional[_SummaryFetch] = None
+
+    def append(self, summary) -> "_SummaryRef":
+        ref = _SummaryRef(self, len(self.rows))
+        self.rows.append(summary)
+        return ref
+
+    def seal(self):
+        if self.fetch is None:
+            self.fetch = _SummaryFetch(jnp.stack(self.rows))
+            self.rows = []  # drop device refs; the stacked copy owns them
+
+
+class _SummaryRef:
+    """One frame's slice of a (possibly not-yet-sealed) summary block."""
+
+    def __init__(self, block: _SummaryBlock, row: int):
+        self._block = block
+        self._row = row
+
+    def done(self) -> bool:
+        f = self._block.fetch
+        return f is not None and f.done()
+
+    def get(self) -> np.ndarray:
+        self._block.seal()   # forced retirement seals a partial block
+        return self._block.fetch.get()[self._row]
+
+
 @dataclass
 class TrajectoryEntry:
     timestamp: float
@@ -146,6 +189,8 @@ class Tracker:
         # with the tunnel's ~35 ms D2H latency a lag of 2-3 frames hides
         # every steady-state fetch completely.
         self._pending_q: deque = deque()
+        self._sum_block: Optional[_SummaryBlock] = None
+        self._sum_inflight: Optional[_SummaryFetch] = None
         self._chain = None
         # device-resident visible/found accumulators for the current
         # candidate bundle (fetched+applied at bundle refresh, not per frame)
@@ -501,13 +546,38 @@ class Tracker:
                 **bird_kw, **depth_kw,
             )
         self._acc = (out.vis_acc, out.found_acc)
-        # ship this frame's summary home on a worker thread: np.asarray
-        # releases the GIL while it waits on device compute + the D2H
-        # transfer, so the fetch overlaps subsequent frames' host work and
-        # retirement reads an already-landed result instead of paying a
-        # blocking round trip. (jax.Array.copy_to_host_async is NOT used:
-        # on the axon tunnel backend it stalls the stream for ~36 s.)
-        fetch = _SummaryFetch(out.summary)
+        # ship this frame's summary home through a BATCHED block fetch:
+        # np.asarray on a worker thread releases the GIL while it waits on
+        # device compute + the D2H transfer, and stacking `summary_batch`
+        # frames per transfer amortizes the tunnel's ~35 ms per-fetch
+        # latency (one fetch per frame caps steady throughput at ~28 fps).
+        # The block seals early — batch 1 — whenever tracking is not
+        # demonstrably healthy, so LOST detection / keyframe policy only
+        # lag when lagging is safe. (jax.Array.copy_to_host_async is NOT
+        # used: on the axon tunnel backend it stalls the stream for ~36 s.)
+        if self._sum_block is None or self._sum_block.fetch is not None:
+            # (fetch set = a forced retirement sealed the block early —
+            # rows appended after a seal would never be transferred)
+            self._sum_block = _SummaryBlock()
+        fetch = self._sum_block.append(out.summary)
+        # ADAPTIVE batching: seal immediately while no summary transfer is
+        # in flight (a fast link degenerates to per-frame fetches with zero
+        # added decision lag); accumulate only while the previous transfer
+        # is still riding the link, up to `summary_batch` rows. The block
+        # size thus self-tunes to fetch_latency/frame_interval — ~1 on
+        # CPU/real hardware, ~8 on the 35 ms tunnel — and collapses to 1
+        # whenever tracking is not demonstrably healthy so LOST detection
+        # and the keyframe policy never lag a struggling tracker.
+        prev = self._sum_inflight
+        prev_busy = prev is not None and not prev.done()
+        healthy = (self.state == OK and not cfgt.synchronous
+                   and cfgt.fused_lag1 and self._kf_pending is None
+                   and self._n_last_inliers >= 90)
+        if (not prev_busy or not healthy
+                or len(self._sum_block.rows) >= cfgt.summary_batch):
+            self._sum_block.seal()
+            self._sum_inflight = self._sum_block.fetch
+            self._sum_block = None
         fd = FrameData(frame_id=self.frame_id, timestamp=timestamp,
                        kp=out.kp, R=np.eye(3, dtype=np.float32),
                        t=np.zeros(3, np.float32),
@@ -1436,7 +1506,7 @@ class Tracker:
         # window, after which tracked fell under the 15-inlier floor and
         # the timeout minted observation-less keyframes (front stream
         # collapse on the circular birdview sequence).
-        idle = self.mapper is None or self.mapper._kf_stage is None
+        idle = self.mapper is None or self.mapper.mapping_idle
         ref_tracked = int(((store.kf_kp_mp[self.ref_kf] >= 0)
                            & store.kf_kp_valid[self.ref_kf]).sum())
         tracked = (fd._n_tracked if fd._n_tracked is not None
@@ -1465,12 +1535,11 @@ class Tracker:
             # InterruptBA analogue (src/Tracking.cc:1488-1500): the
             # reference forces mapping to become available for a needed
             # keyframe instead of waiting out its whole iteration. Land
-            # the in-flight stages NOW — process_keyframe would drain
-            # them anyway, so this only moves the wait, and waiting for
-            # organic idle let fast rotations burn through the visible
-            # map before a single mint (front-stream collapse).
-            while self.mapper._kf_stage is not None:
-                self.mapper._advance_kf_stage(block=True)
+            # the in-flight stages NOW so the mint's own triangulation
+            # starts immediately — waiting for organic idle let fast
+            # rotations burn through the visible map before a single
+            # mint (front-stream collapse).
+            self.mapper.drain_kf_stages()
         return True
 
     def _create_keyframe(self, fd: FrameData):
@@ -1524,8 +1593,7 @@ class Tracker:
                 # (the reference's idle mapping thread triangulates
                 # within a frame of insertion)
                 with self.timer.stage("kf.starved_drain"):
-                    while self.mapper._kf_stage is not None:
-                        self.mapper._advance_kf_stage(block=True)
+                    self.mapper.drain_kf_stages()
             fd.R = store.kf_R[kf].copy()
             fd.t = store.kf_t[kf].copy()
         if self.cfg.tracking.fused_tracking:
