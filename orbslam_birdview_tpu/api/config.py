@@ -107,6 +107,14 @@ class SlamConfig:
     depth_threshold: float = 40.0  # ThDepth * baseline, stereo/RGBD
     depth_map_factor: float = 5000.0  # TUM RGB-D
 
+    def effective_bird_orb(self) -> ORBConfig:
+        """The BEV extractor config actually used by the tracker: explicit
+        `bird_orb` if set, else the front budget at 4 pyramid levels (the
+        BEV image is metric-scaled so deep pyramids buy nothing — the
+        reference runs plain cv::ORB(2000) on it, `src/Frame.cc:329`)."""
+        return self.bird_orb or ORBConfig(
+            n_features=self.orb.n_features, n_levels=4)
+
     @staticmethod
     def from_yaml(path: str, sensor: str = "mono") -> "SlamConfig":
         """Parse an ORB-SLAM2-style YAML (the reference's config format,

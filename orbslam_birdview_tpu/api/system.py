@@ -21,7 +21,7 @@ class System:
     def __init__(self, cfg: SlamConfig, vocabulary=None,
                  enable_loop_closing: bool = True):
         self.cfg = cfg
-        self.store = MapStore(max_kf=cfg.max_keyframes)
+        self.store = self._make_store(cfg)
         self.mapper = LocalMapper(cfg, self.store)
         self.tracker = Tracker(cfg, self.store, self.mapper)
         self.loop_closer = None
@@ -33,6 +33,18 @@ class System:
             self.mapper.loop_closer = self.loop_closer
             self.tracker.loop_closer = self.loop_closer
         self.localization_only = False
+
+    @staticmethod
+    def _make_store(cfg: SlamConfig) -> MapStore:
+        """Per-KF feature capacities MUST track the extractor's padded
+        output size — the reference runs 2000 features front + BEV
+        (`Examples/Monocular/fisheye.yaml:28-41`, `src/Frame.cc:329`), and a
+        store sized below that rejects raw keypoint indices (round-3's
+        IndexError at ≥1024)."""
+        kp_cap = cfg.orb.padded_capacity()
+        bird_cap = cfg.effective_bird_orb().padded_capacity()
+        return MapStore(max_kf=cfg.max_keyframes, kp_cap=kp_cap,
+                        bird_cap=bird_cap)
 
     # ------------------------------------------------------------------
     # per-frame entry points (System::Track*, src/System.cc:129-335)
@@ -90,7 +102,7 @@ class System:
         self._flush()
         cfg = self.cfg
         voc = self.loop_closer.voc if self.loop_closer is not None else None
-        self.store = MapStore(max_kf=cfg.max_keyframes)
+        self.store = self._make_store(cfg)
         self.mapper = LocalMapper(cfg, self.store)
         self.tracker = Tracker(cfg, self.store, self.mapper)
         if self.loop_closer is not None:

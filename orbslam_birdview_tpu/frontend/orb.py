@@ -101,6 +101,15 @@ class ORBConfig(NamedTuple):
         budgets.append(max(self.n_features - sum(budgets), 0))
         return budgets
 
+    def padded_capacity(self) -> int:
+        """Length of the Keypoints arrays `extract_orb` returns for this
+        config: per-level budgets (each ≥1) summed, rounded up to a multiple
+        of 128 (TPU lane alignment — see `_extract_impl`). Every per-KF
+        feature array (MapStore kp_cap/bird_cap) must be sized from this, or
+        raw keypoint indices overflow it at high feature budgets."""
+        total = sum(max(b, 1) for b in self.level_budgets())
+        return -(-total // 128) * 128
+
 
 # ---------------------------------------------------------------------------
 # Pyramid + blur

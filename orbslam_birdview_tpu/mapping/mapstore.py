@@ -183,7 +183,15 @@ class MapStore:
         self.kf_t[i] = np.asarray(t)
         self.kf_frame_id[i] = frame_id
         self.kf_timestamp[i] = timestamp
-        n = min(kp.xy.shape[0], self.kp_cap)
+        n = kp.xy.shape[0]
+        if n > self.kp_cap:
+            # out-of-cap writes must fail loudly, not silently truncate:
+            # a store sized below the extractor capacity drops features AND
+            # later crashes on raw keypoint indices (round-3 VERDICT #1/#7)
+            raise ValueError(
+                f"keyframe has {n} keypoint slots but store kp_cap="
+                f"{self.kp_cap}; size MapStore from "
+                f"ORBConfig.padded_capacity()")
         self.kf_kp_xy[i, :n] = np.asarray(kp.xy)[:n]
         self.kf_kp_octave[i, :n] = np.asarray(kp.octave)[:n]
         self.kf_kp_angle[i, :n] = np.asarray(kp.angle)[:n]
@@ -195,7 +203,12 @@ class MapStore:
             self.kf_kp_ur[i, :n] = np.asarray(kp_ur)[:n]
         if bird is not None:
             bkp, base_xyz = bird
-            m = min(bkp.xy.shape[0], self.bird_cap)
+            m = bkp.xy.shape[0]
+            if m > self.bird_cap:
+                raise ValueError(
+                    f"keyframe has {m} BEV keypoint slots but store "
+                    f"bird_cap={self.bird_cap}; size MapStore from "
+                    f"ORBConfig.padded_capacity()")
             self.kf_bird_xy[i, :m] = np.asarray(bkp.xy)[:m]
             self.kf_bird_valid[i, :m] = np.asarray(bkp.valid)[:m]
             self.kf_bird_desc[i, :m] = np.asarray(bkp.desc_u8)[:m]
@@ -235,6 +248,9 @@ class MapStore:
         mp_ids = np.asarray(mp_ids)
         if kp_idx.size == 0:
             return
+        if int(kp_idx.max()) >= self.kp_cap:
+            raise IndexError(
+                f"keypoint index {int(kp_idx.max())} >= kp_cap={self.kp_cap}")
         old = self.kf_kp_mp[kf, kp_idx]
         self.kf_kp_mp[kf, kp_idx] = mp_ids
         # update obs counts
@@ -247,6 +263,10 @@ class MapStore:
         bmp_ids = np.asarray(bmp_ids)
         if kp_idx.size == 0:
             return
+        if int(kp_idx.max()) >= self.bird_cap:
+            raise IndexError(
+                f"BEV keypoint index {int(kp_idx.max())} >= "
+                f"bird_cap={self.bird_cap}")
         old = self.kf_bird_mp[kf, kp_idx]
         self.kf_bird_mp[kf, kp_idx] = bmp_ids
         np.add.at(self.bmp_n_obs, bmp_ids, 1)

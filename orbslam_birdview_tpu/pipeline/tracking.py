@@ -240,8 +240,7 @@ class Tracker:
                 ur = np.where(d > 0, xy[:, 0] - cam.bf / np.maximum(d, 1e-9), -1.0)
             fd.kp_ur = ur.astype(np.float32)
         if bird_img is not None:
-            bcfg = self.cfg.bird_orb or orb.ORBConfig(
-                n_features=self.cfg.orb.n_features, n_levels=4)
+            bcfg = self.cfg.effective_bird_orb()
             mask = None
             if bird_mask is not None:
                 mask = jnp.asarray(bird_mask, jnp.float32)
@@ -511,8 +510,7 @@ class Tracker:
             if bird_mask is not None and self._bird_mask_dev is None:
                 # dataset-constant vehicle-footprint mask: upload once
                 self._bird_mask_dev = jnp.asarray(bird_mask, jnp.float32)
-            bcfg = self.cfg.bird_orb or orb.ORBConfig(
-                n_features=self.cfg.orb.n_features, n_levels=4)
+            bcfg = self.cfg.effective_bird_orb()
             bird_kw = dict(
                 bird_img=bird_img,
                 bird_mask=(self._bird_mask_dev
@@ -1619,7 +1617,7 @@ class Tracker:
         ki = np.nonzero(free)[0]
         if len(ki) == 0:
             return
-        cap = 1024
+        cap = store.bird_cap
         if len(ki) > cap:
             resp = np.asarray(fd.bird_kp.response)[ki]
             ki = ki[np.argsort(-resp, kind="stable")[:cap]]
