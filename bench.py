@@ -1,31 +1,31 @@
-"""Benchmark: TRUE end-to-end SLAM pipeline fps on one chip.
+"""Benchmark: TRUE end-to-end SLAM pipeline throughput on one chip.
 
-Headline metric: wall-clock per frame of `System.track_monocular` over a
-300-frame synthetic sequence — INCLUDING all host orchestration, keyframe
-creation, local mapping (triangulation/fuse/culling), overlapped local BA,
-and loop-closing checks. This is the reference's acceptance measurement
-(`Examples/Monocular/mono_fisheye.cc:152-161`: per-frame ttrack, median +
-mean at exit). Compile frames (first occurrence of each program) are
-excluded the same way a warmed deployment would be.
+Headline metric (`value`): SUSTAINED WALL-CLOCK frames/s — total frames
+processed divided by total wall time from the first post-warmup frame to
+the final pipeline flush. Nothing is filtered: every keyframe stall,
+mapping drain, and loop-closing check is inside the denominator, and the
+terminal `_flush()` (which retires every in-flight lag-N frame) is too.
+The only exclusion is the reported compile warm-up window (first
+`WARMUP` frames), the same frames a warmed deployment never pays.
+
+This matches the reference's acceptance measurement
+(`Examples/Monocular/mono_fisheye.cc:152-161`: per-frame ttrack of
+*completed* tracking work): in this engine `track_monocular` can return
+before the frame's pose lands (lag-N retirement), so per-call dispatch
+time is NOT comparable — the record therefore also carries
+`pose_latency_ms` (dispatch -> pose available, median/p90) and per-call
+dispatch stats as secondary latency info, never as the headline.
 
 Baseline: the reference's real-time pacing target is ~30 fps on desktop
-CPU (BASELINE.md; TUM=30fps, fisheye=25fps). vs_baseline = fps / 30.
+CPU (BASELINE.md; TUM=30fps, fisheye=25fps). vs_baseline = sustained/30.
 
-Prints ONE JSON line — and is engineered to ALWAYS print it inside the
-driver's budget:
-  - the persistent compile cache ships with the repo (`.jax_cache_tpu/`),
-    so a cold driver run reuses the committed executables instead of
-    paying minutes-per-program remote compiles (round-2's bench timed out
-    exactly there — rc=124, no number recorded);
-  - the frame loop has an internal deadline (BENCH_BUDGET_S, default
-    1200 s): if compiles still blow the budget, the run stops early and
-    reports the frames it did process;
-  - the headline JSON line prints and flushes BEFORE any secondary bench
-    (birdview pipeline, device microbench) starts; secondaries run only
-    when the remaining budget allows, and on success the headline line is
-    re-printed enriched with their fields (both lines are complete,
-    parseable records with the same headline metric — a parser may take
-    either the first or the last JSON line).
+Prints ONE JSON line — engineered to ALWAYS print inside the driver's
+budget: a repo-local persistent compile cache (gitignored, rebuilt on
+first run), an internal deadline (BENCH_BUDGET_S, default 1200 s) that
+stops the frame loop early and reports what ran, and the headline line
+printed+flushed BEFORE any secondary (birdview, device microbench)
+starts. On secondary success the line is re-printed enriched (both lines
+are complete records with the same headline metric).
 """
 import json
 import os
@@ -35,10 +35,43 @@ import numpy as np
 
 T_START = time.perf_counter()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+WARMUP = 10  # compile-window frames excluded from sustained fps (reported)
 
 
 def _remaining():
     return BUDGET_S - (time.perf_counter() - T_START)
+
+
+def _run_stats(times, dispatch_t0, fds, wall_total, warmup_s, done):
+    """Honest aggregates for one pipeline run.
+
+    times: per-call dispatch durations (s). dispatch_t0: per-frame call
+    timestamps. fds: FrameData returned per frame (carry _finalized_wall
+    once retired). wall_total: first-call -> post-flush wall. warmup_s:
+    wall of the first WARMUP frames."""
+    times = np.asarray(times)
+    steady = times[WARMUP:]
+    lat = np.array([fd._finalized_wall - t0
+                    for t0, fd in zip(dispatch_t0[WARMUP:], fds[WARMUP:])
+                    if getattr(fd, "_finalized_wall", None) is not None])
+    sustained = ((done - min(WARMUP, done))
+                 / max(wall_total - warmup_s, 1e-9))
+    out = {
+        "sustained_fps": sustained,
+        "wall_total_s": wall_total,
+        "warmup_s": warmup_s,
+        "warmup_frames": min(WARMUP, done),
+        "dispatch_median_ms": float(np.median(steady)) * 1e3
+        if len(steady) else float("nan"),
+        "dispatch_p90_ms": float(np.percentile(steady, 90)) * 1e3
+        if len(steady) else float("nan"),
+        "dispatch_mean_ms": float(steady.mean()) * 1e3
+        if len(steady) else float("nan"),
+    }
+    if len(lat):
+        out["pose_latency_ms"] = float(np.median(lat)) * 1e3
+        out["pose_latency_p90_ms"] = float(np.percentile(lat, 90)) * 1e3
+    return out
 
 
 def pipeline_fps(n_frames: int = 300):
@@ -61,26 +94,25 @@ def pipeline_fps(n_frames: int = 300):
         gt.append(pose)
 
     sys_ = System(cfg)
-    times = []
+    times, t0s, fds = [], [], []
     done = 0
+    wall0 = time.perf_counter()
+    warmup_end = wall0
     for i, img in enumerate(frames):
         t0 = time.perf_counter()
-        sys_.track_monocular(img, i / 30.0)
+        fds.append(sys_.track_monocular(img, i / 30.0))
         times.append(time.perf_counter() - t0)
+        t0s.append(t0)
         done = i + 1
+        if done == WARMUP:
+            warmup_end = time.perf_counter()
         # deadline guard: keep enough budget to flush the pipeline and
         # print the headline even if cold compiles ate the run
         if _remaining() < 60 and done >= 50:
             break
     sys_._flush()
-    times = np.array(times)
-    med = float(np.median(times))
-    # drop COMPILE frames only: warmup window + multi-second outliers.
-    # (A 5×median cut would also hide genuine keyframe-path frames —
-    # p90/mean must include the mapping tail, like the reference's
-    # at-exit ttrack stats do.)
-    steady = times[10:]
-    steady = steady[steady < 0.5]
+    wall_total = time.perf_counter() - wall0
+    stats = _run_stats(times, t0s, fds, wall_total, warmup_end - wall0, done)
     # trajectory sanity: a perf number from a diverged run is meaningless
     est, gtp = [], []
     for (ts, Tcw), (R_cw, t_cw) in zip(sys_._frame_poses(), gt):
@@ -90,28 +122,23 @@ def pipeline_fps(n_frames: int = 300):
         gtp.append(-R_cw.T @ t_cw)
     ate = synth.ate_rmse(np.array(est), np.array(gtp), with_scale=True) \
         if len(est) > 10 else float("nan")
-    return {
-        "fps": 1.0 / med,
-        "median_ms": med * 1e3,
-        "mean_ms": float(steady.mean()) * 1e3,
-        "p90_ms": float(np.percentile(steady, 90)) * 1e3,
-        # sustained throughput including every keyframe/mapping stall
-        # (compile frames excluded) — the harshest honest aggregate
-        "steady_fps": len(steady) / float(steady.sum()),
+    stats.update({
         "tracked_frames": len(est),
         "n_frames": done,
         "keyframes": sys_.n_keyframes(),
         "ate_rmse_m": float(ate),
-    }
+    })
+    return stats
 
 
 def bird_pipeline_fps(n_frames: int = 120):
-    """Secondary: the fork's signature mono+birdview mode end-to-end.
+    """Secondary: the fork's signature mono+birdview mode end-to-end at the
+    reference's 2000-feature budget on BOTH streams
+    (`Examples/Monocular/fisheye.yaml:28-41`, `src/Frame.cc:329`).
 
     Round-2 review asked that the fused birdview path land within 2x of
-    mono pipeline fps; this measures it the same way (median per-frame
-    wall time of `track_monocular_with_birdview`, compile frames
-    excluded)."""
+    mono pipeline fps; measured the same honest way (sustained wall-clock
+    fps, warm-up excluded and reported)."""
     import jax.numpy as jnp
 
     from orbslam_birdview_tpu.api.config import SlamConfig
@@ -132,24 +159,31 @@ def bird_pipeline_fps(n_frames: int = 120):
     cfg.tbc_quat = tuple(q.tolist())
     cfg.tbc_t = tuple(seq.t_bc.tolist())
     sys_ = System(cfg)
-    times = []
+    times, t0s, fds = [], [], []
+    done = 0
+    wall0 = time.perf_counter()
+    warmup_end = wall0
     for i in range(n_frames):
         img, bev, _ = seq.frame(i)
         t0 = time.perf_counter()
-        sys_.track_monocular_with_birdview(
+        fds.append(sys_.track_monocular_with_birdview(
             np.clip(img, 0, 255).astype(np.uint8),
-            np.clip(bev, 0, 255).astype(np.uint8), None, i / 25.0)
+            np.clip(bev, 0, 255).astype(np.uint8), None, i / 25.0))
         times.append(time.perf_counter() - t0)
-        if _remaining() < 120 and i >= 40:
+        t0s.append(t0)
+        done = i + 1
+        if done == WARMUP:
+            warmup_end = time.perf_counter()
+        if _remaining() < 120 and done >= 40:
             break
     sys_._flush()
-    times = np.array(times)
-    steady = times[10:]
-    steady = steady[steady < 0.5]
+    wall_total = time.perf_counter() - wall0
+    s = _run_stats(times, t0s, fds, wall_total, warmup_end - wall0, done)
     return {
-        "bird_fps": 1.0 / float(np.median(times)),
-        "bird_steady_fps": len(steady) / float(steady.sum()),
-        "bird_n_frames": len(times),
+        "bird_fps": round(s["sustained_fps"], 2),
+        "bird_dispatch_median_ms": round(s["dispatch_median_ms"], 2),
+        "bird_n_frames": done,
+        "bird_keyframes": sys_.n_keyframes(),
     }
 
 
@@ -236,8 +270,8 @@ def main():
     try:
         import jax
 
-        # repo-local persistent compile cache: committed with the repo so
-        # the driver's cold run reuses warmed executables (see module doc)
+        # repo-local persistent compile cache (gitignored): a cold run
+        # pays the compiles once, every later run on this box reuses them
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache_tpu")
         os.makedirs(cache, exist_ok=True)
@@ -251,19 +285,24 @@ def main():
         pass
     pipe = pipeline_fps()
     line = {
-        "metric": "pipeline_fps_1chip",
-        "value": round(pipe["fps"], 2),
+        "metric": "pipeline_sustained_fps_1chip",
+        "value": round(pipe["sustained_fps"], 2),
         "unit": "frames/s",
-        "vs_baseline": round(pipe["fps"] / 30.0, 3),
-        "median_ms": round(pipe["median_ms"], 2),
-        "mean_ms": round(pipe["mean_ms"], 2),
-        "p90_ms": round(pipe["p90_ms"], 2),
-        "steady_fps": round(pipe["steady_fps"], 2),
+        "vs_baseline": round(pipe["sustained_fps"] / 30.0, 3),
+        "wall_total_s": round(pipe["wall_total_s"], 2),
+        "warmup_s": round(pipe["warmup_s"], 2),
+        "warmup_frames": pipe["warmup_frames"],
+        "dispatch_median_ms": round(pipe["dispatch_median_ms"], 2),
+        "dispatch_p90_ms": round(pipe["dispatch_p90_ms"], 2),
+        "dispatch_mean_ms": round(pipe["dispatch_mean_ms"], 2),
         "n_frames": pipe["n_frames"],
         "tracked_frames": pipe["tracked_frames"],
         "keyframes": pipe["keyframes"],
         "ate_rmse_m": round(pipe["ate_rmse_m"], 4),
     }
+    for k in ("pose_latency_ms", "pose_latency_p90_ms"):
+        if k in pipe:
+            line[k] = round(pipe[k], 2)
     # secondary benches only if the budget comfortably allows; their
     # absence or failure never suppresses the headline. Print-and-flush
     # the headline FIRST: the record must exist even if a secondary hangs.

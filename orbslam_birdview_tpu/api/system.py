@@ -33,6 +33,14 @@ class System:
             self.mapper.loop_closer = self.loop_closer
             self.tracker.loop_closer = self.loop_closer
         self.localization_only = False
+        # deferred mode-switch requests from other threads (viewer HTTP
+        # handlers): applied at the start of the next track_* call on the
+        # tracking thread — the reference's mbReset /
+        # mbActivateLocalizationMode protocol (src/System.cc:140-208).
+        # Direct reset()/activate_* from a foreign thread while tracking
+        # is mid-frame would corrupt the lag pipeline.
+        self._reset_requested = False
+        self._loc_mode_requested: Optional[bool] = None
 
     @staticmethod
     def _make_store(cfg: SlamConfig) -> MapStore:
@@ -71,7 +79,31 @@ class System:
                          right_img=np.asarray(img_right))
         return fd
 
+    def request_reset(self):
+        """Thread-safe deferred reset (viewer menu): takes effect at the
+        next track_* call on the tracking thread."""
+        self._reset_requested = True
+
+    def request_localization_mode(self, on: bool):
+        """Thread-safe deferred localization-mode switch (viewer menu)."""
+        self._loc_mode_requested = bool(on)
+
+    def _apply_deferred_requests(self):
+        if self._reset_requested:
+            self._reset_requested = False
+            self._loc_mode_requested = None
+            self.reset()
+            return
+        req = self._loc_mode_requested
+        if req is not None:
+            self._loc_mode_requested = None
+            if req:
+                self.activate_localization_mode()
+            else:
+                self.deactivate_localization_mode()
+
     def _track(self, img, timestamp, **kw):
+        self._apply_deferred_requests()
         self.tracker.only_tracking = self.localization_only
         fd = self.tracker.process(np.asarray(img), timestamp, **kw)
         if self.tracker.reset_requested and not self.localization_only:

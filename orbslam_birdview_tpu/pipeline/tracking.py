@@ -1505,8 +1505,18 @@ class Tracker:
         # the timeout minted observation-less keyframes (front stream
         # collapse on the circular birdview sequence).
         idle = self.mapper is None or self.mapper.mapping_idle
-        ref_tracked = int(((store.kf_kp_mp[self.ref_kf] >= 0)
-                           & store.kf_kp_valid[self.ref_kf]).sum())
+        # nRefMatches counts only WELL-OBSERVED ref-KF points (nMinObs=3,
+        # `Tracking::NeedNewKeyFrame` src/Tracking.cc:1458-1463): freshly
+        # triangulated 2-obs points must not inflate the reference count,
+        # or every mint's own triangulation makes the next frame look
+        # degraded (tracked < 0.9*ref_tracked) and the policy mints a
+        # storm of tiny-baseline keyframes — measured ~1 mint/frame and
+        # 40% pre-loop drift on the KITTI-scale orbit without this.
+        min_obs = 3 if store.kf_valid.sum() > 2 else 2
+        ref_mp = store.kf_kp_mp[self.ref_kf]
+        attached = (ref_mp >= 0) & store.kf_kp_valid[self.ref_kf]
+        ref_tracked = int(
+            (store.mp_n_obs[ref_mp.clip(0)][attached] >= min_obs).sum())
         tracked = (fd._n_tracked if fd._n_tracked is not None
                    else int((fd.kp_mp >= 0).sum()))
         if tracked <= 15:
@@ -1661,6 +1671,9 @@ class Tracker:
         self.velocity = T_cur @ np.linalg.inv(T_last)
 
     def _record_trajectory(self, fd: FrameData):
+        # pose-available wall time: with lag-N retirement the entry point
+        # returns before the pose exists; benchmarks measure dispatch->here
+        fd._finalized_wall = time.perf_counter()
         if self.ref_kf == INVALID:
             return
         store = self.store

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
@@ -120,7 +121,7 @@ async function tick(){
  try{
   const r=await fetch('/state');S=await r.json();
   document.getElementById('state').textContent=
-   'state: '+['NOT_INITIALIZED','OK','LOST'][S.state]||S.state;
+   'state: '+(['NOT_INITIALIZED','OK','LOST'][S.state]||S.state);
   document.getElementById('counts').textContent=
    S.n_kf+' KFs, '+S.n_mp+' pts, '+S.n_bmp+' bird';
   const loc=document.getElementById('loc');
@@ -146,6 +147,7 @@ class LiveViewer:
         self.system = system
         self._frame_png: Optional[bytes] = None
         self._frame_lock = threading.Lock()
+        self._last_frame_req = 0.0   # wall time of the last /frame GET
         self._httpd = ThreadingHTTPServer((host, port), self._handler())
         self._httpd.daemon_threads = True
         self.port = self._httpd.server_address[1]
@@ -172,8 +174,11 @@ class LiveViewer:
     # ---------------------------------------------------------- state
     def update_frame(self, gray_img: np.ndarray, fd=None):
         """Cache the latest frame overlay (FrameDrawer::Update parity).
-        Called from the tracking loop; encodes off the critical path only
-        when a client has connected recently (cheap no-op otherwise)."""
+        Called from the tracking loop; encodes only when a client fetched
+        /frame recently (cheap no-op otherwise — PNG encoding on the frame
+        path with no browser attached is pure added latency)."""
+        if time.time() - self._last_frame_req > 5.0:
+            return
         try:
             from . import viz
             kp = getattr(fd, "kp", None) if fd is not None else None
@@ -202,10 +207,15 @@ class LiveViewer:
         """JSON-ready read-only snapshot of the map + tracker state."""
         sys_ = self.system
         store = sys_.store
+        # report the PENDING mode request if one exists so the menu
+        # checkbox reflects the click immediately (the switch itself lands
+        # at the next track_* call — deferred-flag protocol)
+        loc = getattr(sys_, "_loc_mode_requested", None)
+        if loc is None:
+            loc = bool(getattr(sys_, "localization_only", False)
+                       or getattr(sys_.tracker, "only_tracking", False))
         out = {"state": int(sys_.peek_tracking_state()),
-               "localization": bool(getattr(sys_, "localization_only", False)
-                                    or getattr(sys_.tracker, "only_tracking",
-                                               False)),
+               "localization": bool(loc),
                "n_kf": 0, "n_mp": 0, "n_bmp": 0}
         try:
             ids = store.valid_mp_ids()
@@ -273,6 +283,7 @@ class LiveViewer:
                     self._send(200, json.dumps(viewer.snapshot()).encode(),
                                "application/json")
                 elif path == "/frame":
+                    viewer._last_frame_req = time.time()
                     with viewer._frame_lock:
                         png = viewer._frame_png
                     if png is None:
@@ -289,13 +300,20 @@ class LiveViewer:
                     return
                 action = parse_qs(q.query).get("action", [""])[0]
                 ok = True
-                # menu actions of Viewer::Run (src/Viewer.cc:54-169)
+                # menu actions of Viewer::Run (src/Viewer.cc:54-169).
+                # Handlers run on HTTP server threads and must NOT mutate
+                # tracker state directly (reset/_flush concurrent with an
+                # in-flight track_* call corrupts the lag pipeline) — they
+                # only set request flags, consumed at the start of the
+                # next track_* call on the tracking thread, exactly the
+                # reference's mbReset/mbActivateLocalizationMode protocol
+                # (src/System.cc:140-208)
                 if action == "localization_on":
-                    viewer.system.activate_localization_mode()
+                    viewer.system.request_localization_mode(True)
                 elif action == "localization_off":
-                    viewer.system.deactivate_localization_mode()
+                    viewer.system.request_localization_mode(False)
                 elif action == "reset":
-                    viewer.system.reset()
+                    viewer.system.request_reset()
                 else:
                     ok = False
                 self._send(200 if ok else 400,

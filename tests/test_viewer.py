@@ -56,6 +56,12 @@ def test_live_viewer_endpoints():
         snap = json.loads(body)
         assert snap["n_kf"] == 0
 
+        # /frame before any client fetch: update_frame must be a no-op
+        # (no PNG encode on the frame path with no browser attached), so
+        # the endpoint 404s until a fetch-then-update cycle happens
+        st, _ = _get(viewer.url + "frame")
+        assert st == 404
+
         for i in range(14):
             img, _ = seq.frame(i)
             fd = sys_.track_monocular(
@@ -74,22 +80,39 @@ def test_live_viewer_endpoints():
         assert "cam" in snap and len(snap["cam"]) == 3
         assert "traj" in snap and len(snap["traj"]) % 3 == 0
 
-        # frame overlay PNG landed via update_frame
+        # frame overlay: the 404 fetch above marked a client as present,
+        # so a fresh update_frame now encodes and the endpoint serves PNG
+        img, _ = seq.frame(13)
+        viewer.update_frame(img, sys_.tracker.last_frame)
         st, body = _get(viewer.url + "frame")
         assert st == 200 and body[:4] == b"\x89PNG"
+
+        def drive_one(i):
+            """POSTed menu actions are DEFERRED flags consumed at the next
+            track_* call on the tracking thread (System.cc:140-208
+            protocol) — drive one frame to apply them."""
+            img, _ = seq.frame(i)
+            sys_.track_monocular(np.clip(img, 0, 255).astype(np.uint8),
+                                 (20 + i) / 30.0)
 
         # menu actions (Viewer::Run): localization mode toggle + reset
         st, body = _post(viewer.url + "cmd?action=localization_on")
         assert st == 200 and json.loads(body)["ok"]
+        # snapshot reflects the pending request immediately (UI checkbox)
         st, body = _get(viewer.url + "state")
         assert json.loads(body)["localization"] is True
+        drive_one(0)
+        assert sys_.localization_only is True
         st, _ = _post(viewer.url + "cmd?action=localization_off")
         assert st == 200
+        drive_one(1)
+        assert sys_.localization_only is False
         st, body = _get(viewer.url + "state")
         assert json.loads(body)["localization"] is False
 
         st, _ = _post(viewer.url + "cmd?action=reset")
         assert st == 200
+        drive_one(2)
         st, body = _get(viewer.url + "state")
         assert json.loads(body)["n_kf"] == 0   # map cleared
 
