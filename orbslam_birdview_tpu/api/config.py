@@ -81,10 +81,18 @@ class MappingConfig:
     min_obs_for_cull: int = 3
     found_ratio_cull: float = 0.25
     kf_cull_redundancy: float = 0.9
-    local_ba_window: int = 12       # covisible KFs in local BA (+ fixed frontier)
-    local_ba_fixed: int = 8
-    local_ba_point_cap: int = 4096
-    local_ba_edge_cap: int = 16384
+    # Local BA window: the reference optimizes ALL first-order covisible
+    # KFs (`Optimizer::LocalBundleAdjustment`, src/Optimizer.cc:453-486);
+    # a fixed-shape device program needs a cap, but it must span enough
+    # trajectory arc — at KITTI keyframe density a 12-KF window covered
+    # ~11 degrees of orbit and monocular scale drift accumulated to 40%
+    # of the trajectory radius before loop closure (round-3 longrun
+    # failure); 24+12 measured 4.2x lower pre-loop ATE at equal cadence,
+    # 32+16 a further 2x (0.674 -> 0.159 -> 0.076 on the 420-frame orbit).
+    local_ba_window: int = 32       # covisible KFs in local BA
+    local_ba_fixed: int = 16        # fixed frontier KFs
+    local_ba_point_cap: int = 8192
+    local_ba_edge_cap: int = 32768
     fuse_point_cap: int = 4096      # landmark bucket for the batched fuse op
     async_local_ba: bool = True     # overlap local BA with tracking frames
 

@@ -26,6 +26,12 @@ from ..graph import ba, ba_large
 from ..mapping.mapstore import INVALID, MapStore
 from . import device_ops
 
+# Max tracked frames any overlapped mapping decision may lag its dispatch
+# before being force-landed (blocking). Normal fetches land in ~1-2 frames;
+# the bound only engages under host contention, trading a bounded stall for
+# run-stable semantics.
+LAG_BOUND_FRAMES = 12
+
 
 class LocalMapper:
     def __init__(self, cfg: SlamConfig, store: MapStore):
@@ -48,6 +54,16 @@ class LocalMapper:
         self._gba_pending = None  # in-flight async global BA (finalize_gba)
         self._gba_rounds_left = 0  # extra GBA rounds to dispatch on landing
         self._kf_stage = None     # keyframe mapping pipeline stage
+        # frame-count lag bounds: every overlapped decision (mapping stage
+        # advance, local-BA landing) is FORCED after LAG_BOUND_FRAMES
+        # tracked frames, so pipeline semantics depend on frame indices,
+        # not on wall-clock fetch timing — on a loaded host the stages
+        # land late but boundedly late, and accuracy stays run-stable
+        # (round-3's hostile-tier ATE varied 2x with host load because
+        # these lags were unbounded)
+        self._frame_tick = 0      # incremented once per tracked frame
+        self._stage_tick = 0      # tick when the current stage dispatched
+        self._ba_tick = 0         # tick when the pending BA dispatched
         # bumped on LARGE pose rewrites (GBA writeback; loop corrections
         # bump store.correction_epoch): the tracker's device pose chain is
         # valid while both are unchanged. Incremental local-BA nudges do
@@ -69,8 +85,13 @@ class LocalMapper:
         # correction rewrites ALL keyframe poses, so an epoch bump must
         # count as poses_moved even though no BA landed this poll
         epoch0 = self.store.correction_epoch
-        self._advance_kf_stage()
-        poses_moved = self.finalize_ba()
+        self._frame_tick += 1
+        lag = self._frame_tick - self._stage_tick
+        self._advance_kf_stage(block=lag >= LAG_BOUND_FRAMES)
+        ba_forced = (self._ba_pending is not None
+                     and self._frame_tick - self._ba_tick
+                     >= LAG_BOUND_FRAMES)
+        poses_moved = self.finalize_ba(block=ba_forced)
         poses_moved |= self.store.correction_epoch != epoch0
         if self._gba_pending is not None:
             if self.finalize_gba():
@@ -172,6 +193,7 @@ class LocalMapper:
                 with T.stage("map.tri_dispatch"):
                     self._kf_stage = ("triangulate", nxt,
                                       self._dispatch_triangulate(nxt))
+                self._stage_tick = self._frame_tick
                 continue
             kind, kf, payload = self._kf_stage
             if not self.store.kf_valid[kf]:
@@ -188,6 +210,7 @@ class LocalMapper:
                 self.store.update_covisibility(kf)
                 with T.stage("map.fuse_dispatch"):
                     self._kf_stage = ("fuse", kf, self._dispatch_fuse(kf))
+                self._stage_tick = self._frame_tick
             elif kind == "fuse":
                 if payload is not None:
                     meta, fetch = payload
@@ -452,6 +475,16 @@ class LocalMapper:
         cam = self.cfg.camera
         point_cap = point_cap or cfg.local_ba_point_cap
         edge_cap = edge_cap or cfg.local_ba_edge_cap
+
+        def pow2_bucket(n, lo, hi):
+            # pad to the next power of two >= n (floor lo, ceiling hi):
+            # small problems keep small device shapes (a 10-KF map must
+            # not pay the full KITTI-scale cap), while the bucket ladder
+            # bounds the number of compiled program shapes to log2(hi/lo)
+            b = lo
+            while b < n and b < hi:
+                b *= 2
+            return min(b, hi)
         all_kfs = np.concatenate([kf_window, fixed_window]).astype(np.int64)
         n_real = len(all_kfs)
         C = pad_to or n_real
@@ -459,7 +492,14 @@ class LocalMapper:
         # landmarks observed by the window
         mp = store.kf_kp_mp[kf_window]
         mp_ids = np.unique(mp[mp >= 0])
-        mp_ids = mp_ids[store.mp_valid[mp_ids]][: point_cap]
+        mp_ids = mp_ids[store.mp_valid[mp_ids]]
+        if len(mp_ids) > point_cap:
+            # over-cap: uniform stride, NOT a prefix cut — ids are
+            # allocation-ordered, so a prefix keeps only the OLDEST
+            # landmarks and the window's fresh triangulations would never
+            # be optimized once the map saturates the cap
+            mp_ids = mp_ids[np.linspace(0, len(mp_ids) - 1,
+                                        point_cap).astype(np.int64)]
         n_mp = len(mp_ids)
         # bird landmarks
         bmp = store.kf_bird_mp[kf_window]
@@ -467,7 +507,7 @@ class LocalMapper:
         bmp_ids = bmp_ids[store.bmp_valid[bmp_ids]]
         bmp_ids = bmp_ids[: max(point_cap - n_mp, 0)]
         n_bmp = len(bmp_ids)
-        P = point_cap
+        P = pow2_bucket(n_mp + n_bmp, 1024, point_cap)
         points = np.zeros((P, 3), np.float32)
         points[:n_mp] = store.mp_pos[mp_ids]
         points[n_mp : n_mp + n_bmp] = store.bmp_pos[bmp_ids]
@@ -544,7 +584,7 @@ class LocalMapper:
                 sel = np.linspace(0, len(cams) - 1, cap).astype(np.int64)
                 cams, pts, obss, infos = cams[sel], pts[sel], obss[sel], infos[sel]
             n = min(len(cams), cap)
-            pad = cap - n
+            pad = pow2_bucket(n, 1024, cap) - n
             return ba.EdgeSet(
                 jnp.asarray(np.pad(cams[:n], (0, pad))),
                 jnp.asarray(np.pad(pts[:n], (0, pad))),
@@ -602,7 +642,11 @@ class LocalMapper:
         sees = (member[obs.clip(0)] & (obs >= 0)).any(1)
         sees &= store.kf_valid[: store.n_kf]
         frontier = np.setdiff1d(np.nonzero(sees)[0], window)[: cfg.local_ba_fixed]
-        pad_to = cfg.local_ba_window + cfg.local_ba_fixed
+        # camera axis bucketed in multiples of 16 (<= 3 shapes): early maps
+        # with a handful of KFs must not pay the full-window shape
+        hard = cfg.local_ba_window + cfg.local_ba_fixed
+        n_real = len(window) + len(frontier)
+        pad_to = min(-(-n_real // 16) * 16, hard)
         (all_kfs, cam_R, cam_t, fixed, cam_valid, points, pvalid,
          mono_es, stereo_es, bird_es, mp_ids, bmp_ids, n_mp, n_bmp) = \
             self._gather_ba_problem(window, frontier, pad_to=pad_to)
@@ -616,6 +660,7 @@ class LocalMapper:
                     mono_es=mono_es, mp_ids=mp_ids, bmp_ids=bmp_ids,
                     n_mp=n_mp, n_bmp=n_bmp,
                     epoch=store.correction_epoch)
+        self._ba_tick = self._frame_tick
         if async_dispatch and cfg.async_local_ba:
             self._ba_pending = pend
         else:

@@ -261,15 +261,19 @@ class Tracker:
     def process(self, img, timestamp, bird_img=None, bird_mask=None,
                 depth_img=None, right_img=None) -> FrameData:
         self._apply_landed_acc(block=self.cfg.tracking.synchronous)
-        # force-complete a deferred keyframe mint older than 250 ms: the
-        # background fetch normally lands in ~40 ms, but under host
-        # contention the worker thread can starve, and unbounded mint
-        # latency lets fast motion burn through the visible map. (A
-        # frame-COUNT bound is wrong here: at 200 fps three frames pass
-        # before the fetch can possibly land, forcing a block on every
-        # mint.)
+        # force-complete a deferred keyframe mint after 250 ms OR 12
+        # dispatched frames, whichever first: the background fetch
+        # normally lands in ~40 ms, but under host contention the worker
+        # thread can starve, and unbounded mint latency lets fast motion
+        # burn through the visible map. The wall bound serves slow hosts
+        # (each frame is long, so 250 ms is few frames); the frame bound
+        # serves a fast main thread with a starved worker (12 frames at
+        # 200 fps = 60 ms > a normal fetch, so it never fires on a
+        # healthy run) — together they make mint lag a bounded function
+        # of BOTH clocks, not an open-ended race.
         force = (self._kf_pending is not None
-                 and time.monotonic() - self._kf_pending[2] > 0.25)
+                 and (time.monotonic() - self._kf_pending[2] > 0.25
+                      or self.frame_id - self._kf_pending[3] >= 12))
         self._complete_pending_keyframe(block=force)
         if self.mapper is not None:
             epoch0 = (self.mapper.pose_epoch, self.store.correction_epoch)
@@ -710,7 +714,8 @@ class Tracker:
                     from ..utils.async_fetch import BackgroundFetch
 
                     self._kf_pending = (fd, BackgroundFetch(
-                        self._kf_fetch_items(fd)), time.monotonic())
+                        self._kf_fetch_items(fd)), time.monotonic(),
+                        self.frame_id)
         else:
             if self.store.kf_valid.sum() <= 5:
                 self.reset_requested = True
