@@ -50,10 +50,15 @@ class TrackingConfig:
     # link has ~35 ms latency; 2-3 frames of lag hide it completely).
     # fused_lag1=False forces synchronous finalization of every frame.
     fused_lag1: bool = True
-    # at 100+ fps a frame lasts ~5-10 ms while a D2H fetch takes ~35 ms;
-    # the lag window must hold ~2 summary blocks so a sealed block's
-    # transfer lands while the next block accumulates
-    fused_max_lag: int = 10
+    # Max in-flight (unretired) frames. This bounds the SEMANTIC lag of
+    # every decision made at retirement (mints, fallbacks, LOST) — when
+    # input outruns the link the queue fills to this depth and stays
+    # there, so each extra slot directly inflates decision latency:
+    # depth 10 measured 2.5-6x hostile-tier ATE vs synchronous, depth 4
+    # is within ~1.5x while still hiding a 35 ms fetch behind ~4 frames
+    # of dispatch at 100+ fps. At real camera rates the queue drains
+    # between frames and the bound never engages.
+    fused_max_lag: int = 4
     # MAX frames per batched summary transfer: the tunnel charges ~35 ms
     # latency PER FETCH regardless of size and serializes fetches, so
     # per-frame fetches cap sustained throughput at ~28 fps. Batching is

@@ -286,6 +286,16 @@ class Tracker:
                 # small deltas, and resyncing costs a velocity^lag
                 # extrapolation that fails under rotation.
                 self._chain = None
+        # retire every in-flight frame whose summary ALREADY landed before
+        # deciding anything about this frame: on a fast link every
+        # predecessor finalizes (mints, fallbacks, velocity updates) before
+        # this frame dispatches — semantics converge to the synchronous
+        # pipeline — while on a 35 ms-latency link the still-riding fetches
+        # stay in flight and the overlap is untouched. Retiring only after
+        # dispatch (round 3) hard-wired a >=1-frame semantic lag even when
+        # the link was instant; measured 2.5-6x ATE inflation on the
+        # hostile tier vs synchronous mode.
+        self._retire_landed()
         sensor = self.cfg.sensor
         mode_ok = (
             (bird_img is None and depth_img is None and right_img is None
@@ -621,6 +631,15 @@ class Tracker:
             # (_update_last_frame's ref-KF-relative pose refresh).
             self._chain = None
         return fd
+
+    def _retire_landed(self):
+        """Finalize every in-flight frame whose summary fetch has landed
+        (non-blocking); reset the device pose chain on disruption."""
+        disruption = False
+        while self._pending_q and self._pending_q[0][2].done():
+            disruption |= self._finalize_pending()
+        if disruption:
+            self._chain = None
 
     def _flush_through(self, fd):
         """Finalizer callback for FrameData.pose_ok: drain the retirement

@@ -50,9 +50,11 @@ def _run(stressor, n=N, min_tracked=0.8, max_ate=0.05):
 
 def test_noise_and_exposure_drift():
     """Sensor noise + ±30% auto-exposure swing: stresses the FAST
-    threshold fallback and BRIEF bit stability."""
+    threshold fallback and BRIEF bit stability. Bound calibrated against
+    the synchronous-pipeline floor (0.037 on this scenario): the async
+    pipeline must stay within ~1.6x of it under arbitrary host load."""
     _run(lambda i: dict(noise_std=8.0, exposure_amp=0.3,
-                        exposure_period=60))
+                        exposure_period=60), max_ate=0.06)
 
 
 def test_motion_blur():
