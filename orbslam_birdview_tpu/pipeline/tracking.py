@@ -261,19 +261,18 @@ class Tracker:
     def process(self, img, timestamp, bird_img=None, bird_mask=None,
                 depth_img=None, right_img=None) -> FrameData:
         self._apply_landed_acc(block=self.cfg.tracking.synchronous)
-        # force-complete a deferred keyframe mint after 250 ms OR 12
-        # dispatched frames, whichever first: the background fetch
-        # normally lands in ~40 ms, but under host contention the worker
-        # thread can starve, and unbounded mint latency lets fast motion
-        # burn through the visible map. The wall bound serves slow hosts
-        # (each frame is long, so 250 ms is few frames); the frame bound
-        # serves a fast main thread with a starved worker (12 frames at
-        # 200 fps = 60 ms > a normal fetch, so it never fires on a
-        # healthy run) — together they make mint lag a bounded function
-        # of BOTH clocks, not an open-ended race.
+        # force-complete a deferred keyframe mint after 4 dispatched
+        # frames: the background fetch normally lands in 1-2 frames, but
+        # under host contention the worker thread can starve, and
+        # unbounded mint latency lets fast motion burn through the
+        # visible map. The bound is FRAME-indexed, not wall-clock — a
+        # wall bound (round 3's 250 ms) fires at scheduling-dependent
+        # points during compile stalls / host load, which measurably
+        # shifted hostile-tier ATE between identical runs; with a frame
+        # bound the mint lands within [1, 4] frames of the decision on
+        # every host.
         force = (self._kf_pending is not None
-                 and (time.monotonic() - self._kf_pending[2] > 0.25
-                      or self.frame_id - self._kf_pending[3] >= 12))
+                 and self.frame_id - self._kf_pending[2] >= 4)
         self._complete_pending_keyframe(block=force)
         if self.mapper is not None:
             epoch0 = (self.mapper.pose_epoch, self.store.correction_epoch)
@@ -733,8 +732,7 @@ class Tracker:
                     from ..utils.async_fetch import BackgroundFetch
 
                     self._kf_pending = (fd, BackgroundFetch(
-                        self._kf_fetch_items(fd)), time.monotonic(),
-                        self.frame_id)
+                        self._kf_fetch_items(fd)), self.frame_id)
         else:
             if self.store.kf_valid.sum() <= 5:
                 self.reset_requested = True
