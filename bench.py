@@ -94,6 +94,9 @@ def pipeline_fps(n_frames: int = 300):
         gt.append(pose)
 
     sys_ = System(cfg)
+    t_pw = time.perf_counter()
+    sys_.prewarm()
+    prewarm_s = time.perf_counter() - t_pw
     times, t0s, fds = [], [], []
     done = 0
     wall0 = time.perf_counter()
@@ -113,6 +116,7 @@ def pipeline_fps(n_frames: int = 300):
     sys_._flush()
     wall_total = time.perf_counter() - wall0
     stats = _run_stats(times, t0s, fds, wall_total, warmup_end - wall0, done)
+    stats["prewarm_s"] = prewarm_s
     # trajectory sanity: a perf number from a diverged run is meaningless
     est, gtp = [], []
     for (ts, Tcw), (R_cw, t_cw) in zip(sys_._frame_poses(), gt):
@@ -128,6 +132,19 @@ def pipeline_fps(n_frames: int = 300):
         "keyframes": sys_.n_keyframes(),
         "ate_rmse_m": float(ate),
     })
+    bs = getattr(sys_.tracker, "batch_stats", None)
+    if bs:
+        stats["summary_batch_mean"] = float(np.mean(bs))
+        stats["forced_block_s"] = float(sys_.tracker.forced_block_s)
+    if os.environ.get("BENCH_STAGES"):
+        import sys as _s
+
+        from orbslam_birdview_tpu.utils.profiling import GLOBAL_TIMER
+
+        print("--- tracker stages ---\n" + sys_.tracker.timer.summary(),
+              file=_s.stderr)
+        print("--- mapping stages ---\n" + GLOBAL_TIMER.summary(),
+              file=_s.stderr)
     return stats
 
 
@@ -159,6 +176,7 @@ def bird_pipeline_fps(n_frames: int = 120):
     cfg.tbc_quat = tuple(q.tolist())
     cfg.tbc_t = tuple(seq.t_bc.tolist())
     sys_ = System(cfg)
+    sys_.prewarm()
     times, t0s, fds = [], [], []
     done = 0
     wall0 = time.perf_counter()
@@ -300,7 +318,8 @@ def main():
         "keyframes": pipe["keyframes"],
         "ate_rmse_m": round(pipe["ate_rmse_m"], 4),
     }
-    for k in ("pose_latency_ms", "pose_latency_p90_ms"):
+    for k in ("pose_latency_ms", "pose_latency_p90_ms",
+              "summary_batch_mean", "forced_block_s", "prewarm_s"):
         if k in pipe:
             line[k] = round(pipe[k], 2)
     # secondary benches only if the budget comfortably allows; their

@@ -59,14 +59,15 @@ class TrackingConfig:
     # of dispatch at 100+ fps. At real camera rates the queue drains
     # between frames and the bound never engages.
     fused_max_lag: int = 4
-    # MAX frames per batched summary transfer: the tunnel charges ~35 ms
+    # Frames per batched summary transfer: the tunnel charges ~23-35 ms
     # latency PER FETCH regardless of size and serializes fetches, so
-    # per-frame fetches cap sustained throughput at ~28 fps. Batching is
-    # ADAPTIVE: frames dispatched while a previous summary transfer is in
-    # flight stack into one (B,16) block (amortizing the latency to
-    # ~35/B ms); when the link is fast or tracking is unhealthy, blocks
-    # seal per-frame and behavior is identical to round-3's lag-N path.
-    summary_batch: int = 8
+    # per-frame fetches cap sustained throughput at ~30-40 fps. Blocks
+    # seal after exactly this many rows (amortizing the latency to
+    # ~latency/B per frame); unhealthy tracking seals per-frame so LOST
+    # detection never lags. Must be <= fused_max_lag — a block larger
+    # than the queue bound would be sealed early by forced retirement
+    # anyway.
+    summary_batch: int = 4
     # deterministic scheduling: no retirement lag, no deferred keyframe
     # mints, mapping stages drained per keyframe. The overlapped pipeline's
     # decisions otherwise depend on wall-clock fetch timing — fine in

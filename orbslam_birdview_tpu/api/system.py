@@ -148,6 +148,15 @@ class System:
     def shutdown(self):
         pass  # no threads to join — kept for API parity
 
+    def prewarm(self) -> int:
+        """Compile the shape-specialized device programs this run will
+        need (local-BA bucket ladder) before the first frame. One-time
+        cost that otherwise lands inside the frame stream at keyframe
+        events (~0.3-8 s per shape on a remote-compile backend); results
+        persist in the JAX compile cache for later processes. Returns
+        the number of programs warmed."""
+        return self.mapper.prewarm(bird=self.cfg.sensor == "mono_bird")
+
     # ------------------------------------------------------------------
     # map checkpoint / resume (reference TODO, System.h:125-127)
     # ------------------------------------------------------------------

@@ -240,6 +240,55 @@ class LocalMapper:
         return changed
 
     # ------------------------------------------------------------------
+    def prewarm(self, bird: bool = False):
+        """Compile the local-BA bucket ladder up front.
+
+        The BA device program is shape-specialized (pow2-bucketed cams /
+        points / edges); each NEW bucket hit mid-run costs a ~0.3-8 s
+        remote trace+compile on the tunnel backend, which lands inside
+        the frame stream exactly at a keyframe event (measured
+        map.ba_dispatch p95 ~1 s). Dispatching dummy problems at the
+        growth-path shapes here moves that cost to startup — and into
+        the persistent compile cache, so every later process skips it
+        entirely. Returns the number of programs warmed."""
+        cam = self.cfg.camera
+        cfg = self.cfg.mapping
+        C = cfg.local_ba_window + cfg.local_ba_fixed
+        ladder = [(C, 1024, 1024)]   # tiny early map: edge bucket == P
+        P = 1024
+        while P <= cfg.local_ba_point_cap:
+            for E in (2 * P, 4 * P):
+                if 1024 <= E <= cfg.local_ba_edge_cap:
+                    ladder.append((C, P, E))
+            P *= 2
+        outs = []
+        for C, P, E in ladder:
+            R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (C, 3, 3))
+            t = jnp.zeros((C, 3), jnp.float32)
+            fixed = jnp.zeros(C, bool).at[0].set(True)
+            pts = jnp.concatenate(
+                [jnp.zeros((P, 2), jnp.float32),
+                 jnp.full((P, 1), 8.0, jnp.float32)], 1)
+            es = ba.EdgeSet(jnp.zeros(E, jnp.int32), jnp.zeros(E, jnp.int32),
+                            jnp.full((E, 2), 300.0, jnp.float32),
+                            jnp.ones(E, jnp.float32), jnp.ones(E, bool))
+            bes = None
+            if bird:
+                Eb = max(E // 4, 1024)
+                bes = ba.EdgeSet(
+                    jnp.zeros(Eb, jnp.int32), jnp.zeros(Eb, jnp.int32),
+                    jnp.full((Eb, 3), 1.0, jnp.float32),
+                    jnp.ones(Eb, jnp.float32), jnp.ones(Eb, bool))
+            res = ba.bundle_adjust(
+                R, t, fixed, jnp.ones(C, bool), pts, jnp.ones(P, bool),
+                es, None, bes,
+                cam.fx, cam.fy, cam.cx, cam.cy, bf=cam.bf,
+                iters_phase1=5, iters_phase2=10)
+            outs.append(res.cam_R)
+        jax.block_until_ready(outs)
+        return len(ladder)
+
+    # ------------------------------------------------------------------
     def _cull_recent_points(self, kf: int):
         """MapPointCulling: drop low-found-ratio / under-observed points.
         Fully vectorized — one batched erase instead of per-point
@@ -642,11 +691,11 @@ class LocalMapper:
         sees = (member[obs.clip(0)] & (obs >= 0)).any(1)
         sees &= store.kf_valid[: store.n_kf]
         frontier = np.setdiff1d(np.nonzero(sees)[0], window)[: cfg.local_ba_fixed]
-        # camera axis bucketed in multiples of 16 (<= 3 shapes): early maps
-        # with a handful of KFs must not pay the full-window shape
-        hard = cfg.local_ba_window + cfg.local_ba_fixed
-        n_real = len(window) + len(frontier)
-        pad_to = min(-(-n_real // 16) * 16, hard)
+        # camera axis padded to the hard cap ALWAYS: the cam-axis cost is
+        # negligible (a 288x288 Schur system) and a varying C would
+        # multiply the compile-shape ladder the point/edge buckets already
+        # create — each new shape is a ~0.3-8 s remote compile mid-run
+        pad_to = cfg.local_ba_window + cfg.local_ba_fixed
         (all_kfs, cam_R, cam_t, fixed, cam_valid, points, pvalid,
          mono_es, stereo_es, bird_es, mp_ids, bmp_ids, n_mp, n_bmp) = \
             self._gather_ba_problem(window, frontier, pad_to=pad_to)

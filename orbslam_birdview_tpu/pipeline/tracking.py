@@ -83,9 +83,10 @@ class _SummaryBlock:
     per frame. The extra retirement lag is bounded by `summary_batch` and
     collapses to 1 whenever tracking is unhealthy (see _process_fused)."""
 
-    def __init__(self):
+    def __init__(self, stats: Optional[list] = None):
         self.rows: list = []          # per-frame (16,) device arrays
         self.fetch: Optional[_SummaryFetch] = None
+        self._stats = stats           # realized-batch-size telemetry
 
     def append(self, summary) -> "_SummaryRef":
         ref = _SummaryRef(self, len(self.rows))
@@ -94,6 +95,8 @@ class _SummaryBlock:
 
     def seal(self):
         if self.fetch is None:
+            if self._stats is not None:
+                self._stats.append(len(self.rows))
             self.fetch = _SummaryFetch(jnp.stack(self.rows))
             self.rows = []  # drop device refs; the stacked copy owns them
 
@@ -189,6 +192,10 @@ class Tracker:
         # with the tunnel's ~35 ms D2H latency a lag of 2-3 frames hides
         # every steady-state fetch completely.
         self._pending_q: deque = deque()
+        # telemetry: realized summary-batch sizes + wall spent blocked in
+        # forced retirement (read by bench.py to verify amortization)
+        self.batch_stats: list[int] = []
+        self.forced_block_s = 0.0
         self._sum_block: Optional[_SummaryBlock] = None
         self._sum_inflight: Optional[_SummaryFetch] = None
         self._chain = None
@@ -569,22 +576,24 @@ class Tracker:
         if self._sum_block is None or self._sum_block.fetch is not None:
             # (fetch set = a forced retirement sealed the block early —
             # rows appended after a seal would never be transferred)
-            self._sum_block = _SummaryBlock()
+            self._sum_block = _SummaryBlock(stats=self.batch_stats)
         fetch = self._sum_block.append(out.summary)
-        # ADAPTIVE batching: seal immediately while no summary transfer is
-        # in flight (a fast link degenerates to per-frame fetches with zero
-        # added decision lag); accumulate only while the previous transfer
-        # is still riding the link, up to `summary_batch` rows. The block
-        # size thus self-tunes to fetch_latency/frame_interval — ~1 on
-        # CPU/real hardware, ~8 on the 35 ms tunnel — and collapses to 1
-        # whenever tracking is not demonstrably healthy so LOST detection
-        # and the keyframe policy never lag a struggling tracker.
-        prev = self._sum_inflight
-        prev_busy = prev is not None and not prev.done()
+        # FRAME-COUNT batching: accumulate exactly `summary_batch` rows
+        # before sealing. Round 3 sealed adaptively on link state
+        # (`prev transfer still busy`), which self-defeats: every
+        # blocking retirement leaves the link idle, so the next block
+        # seals at size 1-2 and throughput pins to ~1 fetch RTT per 1-2
+        # frames (measured realized batch 1.87 and 35% of steady wall
+        # spent blocked). A fixed count amortizes the ~23-35 ms fetch
+        # over B frames deterministically; the block still seals
+        # immediately (B=1) whenever tracking is not demonstrably
+        # healthy, so LOST detection and the keyframe policy never lag a
+        # struggling tracker, and decision lag stays <= fused_max_lag
+        # either way.
         healthy = (self.state == OK and not cfgt.synchronous
                    and cfgt.fused_lag1 and self._kf_pending is None
                    and self._n_last_inliers >= 90)
-        if (not prev_busy or not healthy
+        if (not healthy
                 or len(self._sum_block.rows) >= cfgt.summary_batch):
             self._sum_block.seal()
             self._sum_inflight = self._sum_block.fetch
@@ -618,8 +627,11 @@ class Tracker:
             disruption |= self._finalize_pending()
         max_lag = (cfgt.fused_max_lag
                    if cfgt.fused_lag1 and not cfgt.synchronous else 0)
-        while len(self._pending_q) > max_lag:
-            disruption |= self._finalize_pending()
+        if len(self._pending_q) > max_lag:
+            t_blk = time.perf_counter()
+            while len(self._pending_q) > max_lag:
+                disruption |= self._finalize_pending()
+            self.forced_block_s += time.perf_counter() - t_blk
         if disruption:
             # frames still in flight were dispatched against
             # pre-disruption state. Their matches remain valid (the old
