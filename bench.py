@@ -175,18 +175,24 @@ def bird_pipeline_fps(n_frames: int = 120):
     q = np.asarray(lie.rot_to_quat(jnp.asarray(seq.R_bc)))
     cfg.tbc_quat = tuple(q.tolist())
     cfg.tbc_t = tuple(seq.t_bc.tolist())
+    frames = []
+    for i in range(n_frames):
+        img, bev, _ = seq.frame(i)
+        # pre-render: the synthetic renderer costs ~50-150 ms/frame on a
+        # small host and must not serialize into the measured loop (the
+        # mono bench pre-renders too; a real deployment reads a camera)
+        frames.append((np.clip(img, 0, 255).astype(np.uint8),
+                       np.clip(bev, 0, 255).astype(np.uint8)))
     sys_ = System(cfg)
     sys_.prewarm()
     times, t0s, fds = [], [], []
     done = 0
     wall0 = time.perf_counter()
     warmup_end = wall0
-    for i in range(n_frames):
-        img, bev, _ = seq.frame(i)
+    for i, (img, bev) in enumerate(frames):
         t0 = time.perf_counter()
         fds.append(sys_.track_monocular_with_birdview(
-            np.clip(img, 0, 255).astype(np.uint8),
-            np.clip(bev, 0, 255).astype(np.uint8), None, i / 25.0))
+            img, bev, None, i / 25.0))
         times.append(time.perf_counter() - t0)
         t0s.append(t0)
         done = i + 1

@@ -240,7 +240,7 @@ class LocalMapper:
         return changed
 
     # ------------------------------------------------------------------
-    def prewarm(self, bird: bool = False):
+    def prewarm(self, bird: bool = False):  # bird kept for API stability
         """Compile the local-BA bucket ladder up front.
 
         The BA device program is shape-specialized (pow2-bucketed cams /
@@ -254,10 +254,13 @@ class LocalMapper:
         cam = self.cfg.camera
         cfg = self.cfg.mapping
         C = cfg.local_ba_window + cfg.local_ba_fixed
-        ladder = [(C, 1024, 1024)]   # tiny early map: edge bucket == P
+        # edge/point ratio spans ~1 (bird-point-heavy maps) to ~8 (long
+        # covisibility windows); cover the whole band so no mid-run shape
+        # is left to compile at a keyframe event
+        ladder = []
         P = 1024
         while P <= cfg.local_ba_point_cap:
-            for E in (2 * P, 4 * P):
+            for E in (P, 2 * P, 4 * P, 8 * P):
                 if 1024 <= E <= cfg.local_ba_edge_cap:
                     ladder.append((C, P, E))
             P *= 2
@@ -272,16 +275,18 @@ class LocalMapper:
             es = ba.EdgeSet(jnp.zeros(E, jnp.int32), jnp.zeros(E, jnp.int32),
                             jnp.full((E, 2), 300.0, jnp.float32),
                             jnp.ones(E, jnp.float32), jnp.ones(E, bool))
-            bes = None
-            if bird:
-                Eb = max(E // 4, 1024)
-                bes = ba.EdgeSet(
-                    jnp.zeros(Eb, jnp.int32), jnp.zeros(Eb, jnp.int32),
-                    jnp.full((Eb, 3), 1.0, jnp.float32),
-                    jnp.ones(Eb, jnp.float32), jnp.ones(Eb, bool))
+            # stereo/bird types are ALWAYS present in the production
+            # problem (masked padding at mono_bucket//4 — see
+            # _gather_ba_problem) so one prewarmed shape covers every
+            # sensor mix
+            Eb = max(E // 4, min(4096, cfg.local_ba_edge_cap))
+            aux = ba.EdgeSet(
+                jnp.zeros(Eb, jnp.int32), jnp.zeros(Eb, jnp.int32),
+                jnp.full((Eb, 3), 1.0, jnp.float32),
+                jnp.zeros(Eb, jnp.float32), jnp.zeros(Eb, bool))
             res = ba.bundle_adjust(
                 R, t, fixed, jnp.ones(C, bool), pts, jnp.ones(P, bool),
-                es, None, bes,
+                es, aux, aux,
                 cam.fx, cam.fy, cam.cx, cam.cy, bf=cam.bf,
                 iters_phase1=5, iters_phase2=10)
             outs.append(res.cam_R)
@@ -616,7 +621,7 @@ class LocalMapper:
                 b_obs += [obs_pc]
                 b_info += [np.full(len(bi), w)]
 
-        def mk_edges(cams, pts, obss, infos, obs_dim, cap):
+        def mk_edges(cams, pts, obss, infos, obs_dim, cap, pad_target):
             if cams:
                 cams = np.concatenate(cams).astype(np.int32)
                 pts = np.concatenate(pts).astype(np.int32)
@@ -633,7 +638,8 @@ class LocalMapper:
                 sel = np.linspace(0, len(cams) - 1, cap).astype(np.int64)
                 cams, pts, obss, infos = cams[sel], pts[sel], obss[sel], infos[sel]
             n = min(len(cams), cap)
-            pad = pow2_bucket(n, 1024, cap) - n
+            # floor at pad_target, pow2 ladder above it (rare overflow)
+            pad = pow2_bucket(n, pad_target, max(cap, pad_target)) - n
             return ba.EdgeSet(
                 jnp.asarray(np.pad(cams[:n], (0, pad))),
                 jnp.asarray(np.pad(pts[:n], (0, pad))),
@@ -642,16 +648,38 @@ class LocalMapper:
                 jnp.asarray(np.pad(np.ones(n, bool), (0, pad))),
             ), n
 
+        # ONE compiled shape per (point, mono-edge) bucket regardless of
+        # sensor mix: stereo/bird sets are ALWAYS present, padded (masked
+        # invalid) to a fixed fraction of the mono bucket. Shape-churn is
+        # the real cost — every distinct (types-present, bucket) combo is
+        # an in-process retrace (~0.3-1 s Python) plus a remote compile on
+        # a cold cache, paid mid-run at a keyframe event; the masked
+        # padding rows cost ~15% extra edge compute on a program that is
+        # itself microseconds on the MXU.
         cap = edge_cap
-        mono_es, n_mono = mk_edges(e_cam, e_pt, e_obs, e_info, 2, cap)
-        stereo_es, n_st = mk_edges(s_cam, s_pt, s_obs, s_info, 3,
-                                   stereo_cap or cap // 4)
-        bird_es, n_bird = mk_edges(b_cam, b_pt, b_obs, b_info, 3,
-                                   bird_cap or cap // 4)
-        if n_st == 0:
-            stereo_es = None
-        if n_bird == 0:
-            bird_es = None
+        n_mono_raw = sum(len(c) for c in e_cam)
+        B_m = pow2_bucket(min(n_mono_raw, cap), 1024, cap)
+        # aux types HARD-subsample to the pad size so the shape is a pure
+        # function of (P, B_m) — a bird-heavy window must not mint a new
+        # bucket of its own (4096 aux edges is ample constraint density;
+        # the reference's local BA carries hundreds of bird edges)
+        aux_pad = max(B_m // 4, min(4096, cap))
+        if stereo_cap is not None or bird_cap is not None:
+            # caller-specified caps (global BA) keep their own buckets
+            aux_s, aux_b = stereo_cap or cap // 4, bird_cap or cap // 4
+            mono_es, n_mono = mk_edges(e_cam, e_pt, e_obs, e_info, 2, cap,
+                                       B_m)
+            stereo_es, n_st = mk_edges(s_cam, s_pt, s_obs, s_info, 3,
+                                       aux_s, min(aux_pad, aux_s))
+            bird_es, n_bird = mk_edges(b_cam, b_pt, b_obs, b_info, 3,
+                                       aux_b, min(aux_pad, aux_b))
+        else:
+            mono_es, n_mono = mk_edges(e_cam, e_pt, e_obs, e_info, 2, cap,
+                                       B_m)
+            stereo_es, n_st = mk_edges(s_cam, s_pt, s_obs, s_info, 3,
+                                       aux_pad, aux_pad)
+            bird_es, n_bird = mk_edges(b_cam, b_pt, b_obs, b_info, 3,
+                                       aux_pad, aux_pad)
         camR_np = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
         camt_np = np.zeros((C, 3), np.float32)
         camR_np[:n_real] = store.kf_R[all_kfs]

@@ -590,8 +590,12 @@ class Tracker:
         # healthy, so LOST detection and the keyframe policy never lag a
         # struggling tracker, and decision lag stays <= fused_max_lag
         # either way.
+        # (a deferred keyframe mint does NOT force per-frame seals: the
+        # policy is suppressed while one is pending anyway, and bird-mode
+        # runs mint every ~10 frames — gating on it measurably pinned the
+        # realized batch to ~2.2 and halved sustained throughput)
         healthy = (self.state == OK and not cfgt.synchronous
-                   and cfgt.fused_lag1 and self._kf_pending is None
+                   and cfgt.fused_lag1
                    and self._n_last_inliers >= 90)
         if (not healthy
                 or len(self._sum_block.rows) >= cfgt.summary_batch):
