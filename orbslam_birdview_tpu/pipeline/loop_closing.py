@@ -460,19 +460,55 @@ class LoopCloser:
                 mesh, jnp.asarray(vR), jnp.asarray(vt), jnp.asarray(vs),
                 jnp.asarray(fixed), *sharded, n_iters=20)
         else:
-            R_out, t_out, s_out, cost = pose_graph.optimize_sim3_graph(
-                jnp.asarray(vR), jnp.asarray(vt), jnp.asarray(vs),
-                jnp.asarray(fixed),
-                jnp.asarray(np.array(e_i, np.int32)),
-                jnp.asarray(np.array(e_j, np.int32)),
-                jnp.asarray(np.stack(mR)), jnp.asarray(np.stack(mt)),
-                jnp.asarray(np.array(ms, np.float32)),
-                jnp.asarray(np.array(e_w, np.float32)), jnp.ones(E, bool),
+            # pow2-bucket the vertex/edge axes (pad: fixed identity
+            # vertices, invalid edges) so repeat loop events reuse one
+            # compiled program per bucket instead of compiling per K; the
+            # dense (7K x 7K) solver is right for small graphs, the
+            # matrix-free PCG path above ~256 vertices (a dense K=1024
+            # solve measured ~30 s host-side — tools/time_loop_correction)
+            def b2(n):
+                b = 64
+                while b < n:
+                    b *= 2
+                return b
+
+            Kp, Ep = b2(K), b2(E)
+            vR_p = np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))
+            vR_p[:K] = vR
+            vt_p = np.zeros((Kp, 3), np.float32)
+            vt_p[:K] = vt
+            vs_p = np.ones(Kp, np.float32)
+            vs_p[:K] = vs
+            fx_p = np.ones(Kp, bool)
+            fx_p[:K] = fixed
+            ei_p = np.zeros(Ep, np.int32)
+            ei_p[:E] = e_i
+            ej_p = np.zeros(Ep, np.int32)
+            ej_p[:E] = e_j
+            mR_p = np.tile(np.eye(3, dtype=np.float32), (Ep, 1, 1))
+            mR_p[:E] = np.stack(mR)
+            mt_p = np.zeros((Ep, 3), np.float32)
+            mt_p[:E] = np.stack(mt)
+            ms_p = np.ones(Ep, np.float32)
+            ms_p[:E] = ms
+            ew_p = np.zeros(Ep, np.float32)
+            ew_p[:E] = e_w
+            ev_p = np.zeros(Ep, bool)
+            ev_p[:E] = True
+            solver = (pose_graph.optimize_sim3_graph if Kp <= 256
+                      else pose_graph.optimize_sim3_graph_pcg)
+            R_out, t_out, s_out, cost = solver(
+                jnp.asarray(vR_p), jnp.asarray(vt_p), jnp.asarray(vs_p),
+                jnp.asarray(fx_p),
+                jnp.asarray(ei_p), jnp.asarray(ej_p),
+                jnp.asarray(mR_p), jnp.asarray(mt_p),
+                jnp.asarray(ms_p),
+                jnp.asarray(ew_p), jnp.asarray(ev_p),
                 n_iters=20,
             )
-        R_out = np.asarray(R_out)
-        t_out = np.asarray(t_out)
-        s_out = np.asarray(s_out)
+        R_out = np.asarray(R_out)[:K]
+        t_out = np.asarray(t_out)[:K]
+        s_out = np.asarray(s_out)[:K]
         # correct all landmarks via an observing keyframe's graph delta —
         # one vectorized ownership pass (first observer in valid order,
         # like the serial loop it replaces) + batched Sim3 transport

@@ -411,3 +411,55 @@ def test_bundle_adjust_single_observation_landmarks(rng):
     assert np.all(np.isfinite(np.asarray(res.points)))
     n_valid = int(np.sum(valid))
     assert int(jnp.sum(res.inl_mono)) > 0.9 * n_valid
+
+
+def test_sim3_pose_graph_pcg_matches_dense():
+    """The matrix-free PCG essential-graph solver must reproduce the dense
+    solver on a loop-closure-shaped graph (chain + loop edge with scale
+    drift) — same residuals/Jacobians, different linear solver."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from orbslam_birdview_tpu.graph import pose_graph
+
+    rng = np.random.default_rng(3)
+    K = 40
+    yaw = np.linspace(0, 2 * np.pi, K, endpoint=False)
+    vR, vt = [], []
+    for i in range(K):
+        c, s = np.cos(yaw[i]), np.sin(yaw[i])
+        R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+        t = np.array([5 * np.cos(yaw[i]), 5 * np.sin(yaw[i]), 0], np.float32)
+        vR.append(R.T)
+        vt.append((-R.T @ t).astype(np.float32))
+    vR, vt = np.stack(vR), np.stack(vt)
+    # measurements from TRUE poses; initial guess = true + drift
+    e_i = np.arange(K - 1, dtype=np.int32)
+    e_j = e_i + 1
+    mR = np.einsum("nij,nkj->nik", vR[e_j], vR[e_i])
+    mt = vt[e_j] - np.einsum("nij,nj->ni", mR, vt[e_i])
+    # loop edge K-1 -> 0
+    e_i = np.concatenate([e_i, [K - 1]]).astype(np.int32)
+    e_j = np.concatenate([e_j, [0]]).astype(np.int32)
+    mR = np.concatenate([mR, np.einsum("ij,kj->ik", vR[0], vR[K - 1])[None]])
+    mt = np.concatenate([mt, (vt[0] - mR[-1] @ vt[K - 1])[None]])
+    E = len(e_i)
+    ms = np.ones(E, np.float32)
+    ew = np.ones(E, np.float32)
+    ev = np.ones(E, bool)
+    # drifting initial guess
+    vR0 = vR.copy()
+    vt0 = vt + rng.normal(0, 0.15, vt.shape).astype(np.float32)
+    vs0 = np.linspace(1.0, 1.15, K).astype(np.float32)
+    fixed = np.zeros(K, bool)
+    fixed[0] = True
+    args = (jnp.asarray(vR0), jnp.asarray(vt0), jnp.asarray(vs0),
+            jnp.asarray(fixed), jnp.asarray(e_i), jnp.asarray(e_j),
+            jnp.asarray(mR.astype(np.float32)),
+            jnp.asarray(mt.astype(np.float32)), jnp.asarray(ms),
+            jnp.asarray(ew), jnp.asarray(ev))
+    Rd, td, sd, cd = pose_graph.optimize_sim3_graph(*args, n_iters=15)
+    Rp, tp, sp, cp = pose_graph.optimize_sim3_graph_pcg(*args, n_iters=15)
+    assert float(cd) < 1e-4 and float(cp) < 1e-4, (float(cd), float(cp))
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(sd), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(td), atol=5e-2)
