@@ -175,6 +175,13 @@ def transform_points(R, t, pts):
     return pts @ R.T + t
 
 
+TRI_COMPACT_CAP = 2048   # max accepted triangulations shipped per keyframe
+FUSE_COMPACT_CAP = 6144  # max fuse matches shipped per keyframe (11 rows
+                         # x several hundred matches each on a dense map —
+                         # 2048 overflowed at KITTI-scale density and the
+                         # silently dropped attachments cost 5x longrun ATE)
+
+
 @jax.jit
 def epipolar_triangulate_batch(
     R1, t1, R2s, t2s, nb_ok, K,
@@ -201,8 +208,30 @@ def epipolar_triangulate_batch(
             kp2_xy, kp2_oct, kp2_free & ok, desc2_pm1, level_sigma2)
         return idx2, X, good & ok
 
-    return jax.vmap(one)(R2s, t2s, nb_ok, kp2s_xy, kp2s_octave,
-                         kp2s_free, desc2s_pm1)
+    idx2, X, good = jax.vmap(one)(R2s, t2s, nb_ok, kp2s_xy, kp2s_octave,
+                                  kp2s_free, desc2s_pm1)
+    # COMPACT the result on device: the dense (N,K1) arrays are ~350 KB —
+    # a ~25-50 ms D2H on a latency-bound link, paid at a fixed landing
+    # tick on the frame path. Only accepted candidates matter (~100-600
+    # per keyframe); top_k on the flat accept mask selects them in
+    # n-major order (ties break by ascending flat index, so the
+    # best-covisible neighbor comes first — the consumer's
+    # first-neighbor-wins rule is preserved) at a fixed small cap.
+    N, K1 = good.shape
+    flat_ok = good.reshape(-1)
+    cap = min(TRI_COMPACT_CAP, N * K1)
+    score = flat_ok.astype(jnp.int32) * (N * K1) - jnp.arange(
+        N * K1, dtype=jnp.int32)
+    _, sel = jax.lax.top_k(score, cap)
+    sel_valid = flat_ok[sel]
+    sel_n = (sel // K1).astype(jnp.int32)
+    sel_k1 = (sel % K1).astype(jnp.int32)
+    sel_idx2 = idx2.reshape(-1)[sel]
+    sel_X = X.reshape(-1, 3)[sel]
+    # total accept count rides along so the consumer can SEE an overflow
+    # (silent truncation reads as "covered everything" when it didn't)
+    n_acc = jnp.sum(flat_ok.astype(jnp.int32))
+    return sel_n, sel_k1, sel_idx2, sel_X, sel_valid, n_acc
 
 
 @jax.jit
@@ -253,5 +282,17 @@ def fuse_project_batch2(
                                  max_dist_th=50)
         return idx
 
-    return jax.vmap(one)(R2s, t2s, nb_ok, mp_pos, mp_valid, mp_desc_u8,
-                         kp2s_xy, kp2s_octave, kp2s_valid, desc2s_pm1)
+    idx = jax.vmap(one)(R2s, t2s, nb_ok, mp_pos, mp_valid, mp_desc_u8,
+                        kp2s_xy, kp2s_octave, kp2s_valid, desc2s_pm1)
+    # compact matches on device (same rationale + ordering contract as
+    # epipolar_triangulate_batch): only (row, landmark, target-keypoint)
+    # triples where a match happened ship home, row-major order preserved
+    N, P = idx.shape
+    flat_ok = (idx >= 0).reshape(-1)
+    cap = min(FUSE_COMPACT_CAP, N * P)
+    score = flat_ok.astype(jnp.int32) * (N * P) - jnp.arange(
+        N * P, dtype=jnp.int32)
+    _, sel = jax.lax.top_k(score, cap)
+    return ((sel // P).astype(jnp.int32), (sel % P).astype(jnp.int32),
+            idx.reshape(-1)[sel], flat_ok[sel],
+            jnp.sum(flat_ok.astype(jnp.int32)))

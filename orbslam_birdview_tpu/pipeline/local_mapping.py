@@ -26,11 +26,16 @@ from ..graph import ba, ba_large
 from ..mapping.mapstore import INVALID, MapStore
 from . import device_ops
 
-# Max tracked frames any overlapped mapping decision may lag its dispatch
-# before being force-landed (blocking). Normal fetches land in ~1-2 frames;
-# the bound only engages under host contention, trading a bounded stall for
-# run-stable semantics.
-LAG_BOUND_FRAMES = 12
+# Deterministic-schedule landing offsets (in tracked frames): an
+# overlapped result dispatched at tick k is folded in EXACTLY at tick
+# k+LAG (blocking if its background transfer hasn't landed) — never
+# earlier. Opportunistic (done()-polled) landings made map growth a
+# function of host scheduling; fixed ticks make the pipeline a pure
+# function of frame indices on any host. Transfers normally land within
+# 1-2 frames, so the block only engages under contention.
+STAGE_LAG_FRAMES = 2   # keyframe stage (triangulate / fuse) advance
+BA_LAG_FRAMES = 6      # local-BA writeback
+GBA_LAG_FRAMES = 12    # global-BA writeback (full-map solve)
 
 
 class LocalMapper:
@@ -54,14 +59,12 @@ class LocalMapper:
         self._gba_pending = None  # in-flight async global BA (finalize_gba)
         self._gba_rounds_left = 0  # extra GBA rounds to dispatch on landing
         self._kf_stage = None     # keyframe mapping pipeline stage
-        # frame-count lag bounds: every overlapped decision (mapping stage
-        # advance, local-BA landing) is FORCED after LAG_BOUND_FRAMES
-        # tracked frames, so pipeline semantics depend on frame indices,
-        # not on wall-clock fetch timing — on a loaded host the stages
-        # land late but boundedly late, and accuracy stays run-stable
-        # (round-3's hostile-tier ATE varied 2x with host load because
-        # these lags were unbounded)
+        self._gba_tick = 0        # tick when the pending GBA dispatched
+        # deterministic-schedule ticks (see STAGE/BA/GBA_LAG_FRAMES above)
         self._frame_tick = 0      # incremented once per tracked frame
+        # count of device-compacted stage results that overflowed their
+        # shipping cap (dropped candidates) — observability, never silent
+        self.compact_overflows = 0
         self._stage_tick = 0      # tick when the current stage dispatched
         self._ba_tick = 0         # tick when the pending BA dispatched
         # bumped on LARGE pose rewrites (GBA writeback; loop corrections
@@ -86,20 +89,31 @@ class LocalMapper:
         # count as poses_moved even though no BA landed this poll
         epoch0 = self.store.correction_epoch
         self._frame_tick += 1
-        lag = self._frame_tick - self._stage_tick
-        self._advance_kf_stage(block=lag >= LAG_BOUND_FRAMES)
-        ba_forced = (self._ba_pending is not None
-                     and self._frame_tick - self._ba_tick
-                     >= LAG_BOUND_FRAMES)
-        poses_moved = self.finalize_ba(block=ba_forced)
+        if self._kf_stage is None:
+            if self._kf_queue:
+                # starting the next keyframe's stages is dispatch-only
+                self._advance_kf_stage(budget=1)
+        elif self._frame_tick - self._stage_tick >= STAGE_LAG_FRAMES:
+            # the current stage's landing tick: fold it in (blocking if
+            # the transfer is still riding) and advance ONE transition
+            self._advance_kf_stage(block=True, budget=1)
+        poses_moved = False
+        if self._ba_pending is not None:
+            if self._frame_tick - self._ba_tick >= BA_LAG_FRAMES:
+                poses_moved = self.finalize_ba(block=True)
+            else:
+                self.finalize_ba(start_fetch_only=True)
         poses_moved |= self.store.correction_epoch != epoch0
         if self._gba_pending is not None:
-            if self.finalize_gba():
+            due = self._frame_tick - self._gba_tick >= GBA_LAG_FRAMES
+            if due and self.finalize_gba(block=True):
                 poses_moved = True
                 if self._gba_rounds_left > 0:
                     self._gba_rounds_left -= 1
                     self.global_ba(iters=self._gba_iters,
                                    async_dispatch=True)
+            elif not due:
+                self.finalize_gba(start_fetch_only=True)
         return poses_moved
 
     def drain_background(self):
@@ -147,7 +161,8 @@ class LocalMapper:
         # (`mlNewKeyFrames`, include/LocalMapping.h:107); the per-frame
         # poll_background advances them as their fetches land.
         self._kf_queue.append(kf)
-        self._advance_kf_stage()  # start now if the stage slot is idle
+        if self._kf_stage is None:
+            self._advance_kf_stage(budget=1)  # start now: dispatch-only
 
     def drain_kf_stages(self):
         """Blocking: run every queued keyframe's stages to completion."""
@@ -160,33 +175,33 @@ class LocalMapper:
         flight and nothing queued (`LocalMapping::AcceptKeyFrames`)."""
         return self._kf_stage is None and not self._kf_queue
 
-    def _advance_kf_stage(self, block: bool = False) -> bool:
-        """Advance the keyframe mapping pipeline by ready stages:
+    def _advance_kf_stage(self, block: bool = False, budget=None) -> bool:
+        """Advance the keyframe mapping pipeline:
         triangulate -> fuse -> {local BA dispatch, KF cull, loop closing};
         when the slot frees up, start the next queued keyframe's stages.
-        Returns True if the map changed."""
+
+        Deterministic protocol: a stage's result is folded in ONLY by a
+        `block=True` call at its landing tick (poll_background) or a
+        drain — never opportunistically when its transfer happens to have
+        landed. `budget` caps the number of stage TRANSITIONS (the poll
+        passes 1 so each tick advances exactly one stage). Returns True
+        if the map changed."""
         from ..utils.profiling import GLOBAL_TIMER as T
 
         changed = False
         while self._kf_stage is not None or self._kf_queue:
+            if budget is not None and budget <= 0:
+                return changed
             if self._kf_stage is None:
                 nxt = self._kf_queue.popleft()
                 if not self.store.kf_valid[nxt]:
                     continue
-                # land a FINISHED local BA before triangulating the next
-                # keyframe (the old drain-at-mint guaranteed refined poses
-                # under the new points). Only the writeback is paid here —
-                # if the BA compute is still running it keeps overlapping
-                # and lands on a later poll instead.
-                pend = self._ba_pending
-                if pend is not None:
-                    fetch = pend.get("fetch")
-                    if fetch is not None:
-                        ready = fetch.done()
-                    else:
-                        ir = getattr(pend["res"].cam_R, "is_ready", None)
-                        ready = ir is None or ir()
-                    if ready and self.finalize_ba(block=True):
+                # land a pending local BA before triangulating the next
+                # keyframe — refined poses under the new points, and a
+                # deterministic landing point (the mint IS an event of
+                # the frame-indexed schedule)
+                if self._ba_pending is not None:
+                    if self.finalize_ba(block=True):
                         changed = True
                 with T.stage("map.cull_points"):
                     self._cull_recent_points(nxt)
@@ -194,16 +209,20 @@ class LocalMapper:
                     self._kf_stage = ("triangulate", nxt,
                                       self._dispatch_triangulate(nxt))
                 self._stage_tick = self._frame_tick
+                if budget is not None:
+                    budget -= 1
                 continue
+            if not block:
+                return changed
             kind, kf, payload = self._kf_stage
             if not self.store.kf_valid[kf]:
                 self._kf_stage = None
                 continue
+            if budget is not None:
+                budget -= 1
             if kind == "triangulate":
                 if payload is not None:
                     meta, fetch = payload
-                    if not block and not fetch.done():
-                        return changed
                     with T.stage("map.tri_apply"):
                         self._apply_triangulate(kf, meta, fetch.get())
                         changed = True
@@ -214,8 +233,6 @@ class LocalMapper:
             elif kind == "fuse":
                 if payload is not None:
                     meta, fetch = payload
-                    if not block and not fetch.done():
-                        return changed
                     with T.stage("map.fuse_apply"):
                         self._apply_fuse(kf, meta, fetch.get())
                         changed = True
@@ -359,30 +376,39 @@ class LocalMapper:
         return (good, free1), BackgroundFetch(out)
 
     def _apply_triangulate(self, kf: int, meta, fetched):
-        """CreateNewMapPoints, apply half: allocate the accepted points.
-        Vectorized — the first (best-covisible) neighbor accepting a
-        keypoint wins, matching the reference's serial visit order; ONE
-        allocation for the whole batch."""
+        """CreateNewMapPoints, apply half: allocate the accepted points
+        from the device-COMPACTED candidate list (sel_n, sel_k1, idx2, X,
+        valid — at most TRI_COMPACT_CAP rows instead of the dense (N,K1)
+        arrays; 25 KB vs 350 KB on a latency-bound link). The first
+        (best-covisible) neighbor accepting a keypoint wins, matching the
+        reference's serial visit order — the compaction emits candidates
+        in neighbor-major order, so first-occurrence-per-keypoint is
+        exactly that rule."""
         store = self.store
         good, free1 = meta
-        idx2, X, ok = fetched
+        sel_n, sel_k1, sel_idx2, sel_X, sel_valid, n_acc = fetched
+        if int(n_acc) > len(sel_k1):
+            self.compact_overflows += 1
         nbs = np.asarray(good, np.int64)
-        idx2, X, ok = idx2[: len(nbs)], X[: len(nbs)], ok[: len(nbs)]
-        okm = (ok & free1[None, :]
-               & store.kf_valid[nbs][:, None])          # (N, K1)
-        has = okm.any(0)
-        k1 = np.nonzero(has)[0]
-        if len(k1) == 0:
+        m = (sel_valid & (sel_n < len(nbs)) & free1[sel_k1]
+             & store.kf_valid[nbs[np.clip(sel_n, 0, len(nbs) - 1)]])
+        sn, sk = sel_n[m], sel_k1[m]
+        si, sX = sel_idx2[m], sel_X[m]
+        if len(sk) == 0:
             return
-        j_first = np.argmax(okm[:, k1], axis=0)         # first True per col
+        # dedupe per keypoint, keeping the first in neighbor-major order
+        order = np.argsort(sk, kind="stable")
+        sn, sk, si, sX = sn[order], sk[order], si[order], sX[order]
+        k1, first = np.unique(sk, return_index=True)
+        sn, si, sX = sn[first], si[first], sX[first]
         ids = store.alloc_points(
-            X[j_first, k1].astype(np.float32), store.kf_desc[kf][k1], kf,
+            sX.astype(np.float32), store.kf_desc[kf][k1], kf,
             int(store.kf_frame_id[kf]))
         store.add_observations(kf, k1, ids)
         # neighbor-side observations grouped per neighbor (≤10 vector calls)
-        for j in np.unique(j_first):
-            sel = j_first == j
-            store.add_observations(int(nbs[j]), idx2[j][k1[sel]], ids[sel])
+        for j in np.unique(sn):
+            sel = sn == j
+            store.add_observations(int(nbs[j]), si[sel], ids[sel])
         free1[k1] = False
         self.recent_mp.extend(zip(ids.tolist(), [kf] * len(ids)))
         store.update_point_stats(ids, self.scale_factors)
@@ -478,26 +504,35 @@ class LocalMapper:
                 ids_fp, ids_rp)
         return meta, BackgroundFetch(out)
 
-    def _apply_fuse(self, kf: int, meta, idx_all):
+    def _apply_fuse(self, kf: int, meta, fetched):
         """SearchInNeighbors, apply half: merge duplicate landmarks (keep
-        the better-observed one). The common outcome — the target
-        keypoint had NO landmark yet — is one vectorized observation write
-        per row; only true merges fall to the per-pair path. The last row
-        is the REVERSE pass (neighbor-union points into kf)."""
+        the better-observed one) from the device-COMPACTED match list
+        ((row, landmark-slot, target-kp) triples, FUSE_COMPACT_CAP max —
+        16 KB instead of the dense (N,P) 180 KB on a latency-bound
+        link). The common outcome — the target keypoint had NO landmark
+        yet — is one vectorized observation write per row; only true
+        merges fall to the per-pair path. The last row is the REVERSE
+        pass (neighbor-union points into kf)."""
         store = self.store
         rows, ids_f, pval_f, ids_r, pval_r, ids_fp, ids_rp = meta
+        sel_row, sel_p, sel_tgt, sel_ok, n_acc = fetched
+        if int(n_acc) > len(sel_p):
+            self.compact_overflows += 1
+        n_pad = 11   # fuse dispatch pads the row axis to n_fwd+1
         for j, nb in enumerate(rows):
             if not store.kf_valid[nb]:
                 continue  # culled while the fuse batch was in flight
             reverse = j == len(rows) - 1
             ids_p = ids_rp if reverse else ids_fp
             pvalid = pval_r if reverse else pval_f
-            idx = idx_all[j if not reverse else -1]
-            fi = np.nonzero((idx >= 0) & pvalid)[0]
+            row_id = j if not reverse else n_pad - 1
+            keep = (sel_ok & (sel_row == row_id)
+                    & pvalid[np.clip(sel_p, 0, len(pvalid) - 1)])
+            fi = sel_p[keep]
             if len(fi) == 0:
                 continue
             mp_id = ids_p[fi]
-            tgt = idx[fi].astype(np.int64)
+            tgt = sel_tgt[keep].astype(np.int64)
             alive = store.mp_valid[mp_id]   # may have merged away already
             existing = store.kf_kp_mp[nb, tgt]
             ex_dead = (existing < 0) | ~store.mp_valid[existing.clip(0)]
@@ -680,6 +715,10 @@ class LocalMapper:
                                        aux_pad, aux_pad)
             bird_es, n_bird = mk_edges(b_cam, b_pt, b_obs, b_info, 3,
                                        aux_pad, aux_pad)
+        if n_st == 0:
+            stereo_es = None
+        if n_bird == 0:
+            bird_es = None
         camR_np = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
         camt_np = np.zeros((C, 3), np.float32)
         camR_np[:n_real] = store.kf_R[all_kfs]
@@ -744,37 +783,33 @@ class LocalMapper:
             self._ba_pending = pend
             self.finalize_ba(block=True)
 
-    def finalize_ba(self, block: bool = False) -> bool:
+    def finalize_ba(self, block: bool = False,
+                    start_fetch_only: bool = False) -> bool:
         """Land an in-flight local BA: write poses/points back to the store
-        and erase outlier observations. Non-blocking unless `block` — the
-        tracker polls this once per frame so the writeback happens the
-        moment the device finishes, never stalling the frame path. Returns
-        True when a writeback happened (callers invalidate device pose
-        chains / candidate bundles)."""
+        and erase outlier observations.
+
+        Deterministic protocol: the writeback happens ONLY on a
+        `block=True` call — poll_background issues it at the BA's fixed
+        landing tick, drains at flush. `start_fetch_only` launches the
+        background D2H transfer as soon as the device compute is done (so
+        the landing tick rarely blocks) WITHOUT folding anything in.
+        Returns True when a writeback happened (callers invalidate device
+        pose chains / candidate bundles)."""
         pend = self._ba_pending
         if pend is None:
             return False
         res = pend["res"]
         fetch = pend.get("fetch")
         if fetch is None:
-            if not block:
-                is_ready = getattr(res.cam_R, "is_ready", None)
-                if is_ready is not None and not is_ready():
-                    return False
-                # compute done — start the D2H transfer on a worker thread
-                # and land the result on a later poll, so no tracked frame
-                # ever blocks on this fetch
+            is_ready = getattr(res.cam_R, "is_ready", None)
+            if block or is_ready is None or is_ready():
                 from ..utils.async_fetch import BackgroundFetch
 
-                pend["fetch"] = BackgroundFetch(
+                fetch = pend["fetch"] = BackgroundFetch(
                     (res.cam_R, res.cam_t, res.points, res.inl_mono))
-                return False
-            arrays = jax.device_get(
-                (res.cam_R, res.cam_t, res.points, res.inl_mono))
-        else:
-            if not block and not fetch.done():
-                return False
-            arrays = fetch.get()
+        if not block or start_fetch_only:
+            return False
+        arrays = fetch.get()
         self._ba_pending = None
         store = self.store
         if store.correction_epoch != pend["epoch"]:
@@ -930,10 +965,12 @@ class LocalMapper:
                     n_bmp_snap=store.n_bmp,
                     epoch=store.correction_epoch)
         self._gba_pending = pend
+        self._gba_tick = self._frame_tick
         if not async_dispatch:
             self.finalize_gba(block=True)
 
-    def finalize_gba(self, block: bool = False) -> bool:
+    def finalize_gba(self, block: bool = False,
+                     start_fetch_only: bool = False) -> bool:
         """Land an in-flight global BA. Keyframes and landmarks created
         while it ran (they are not in the solve) are corrected by
         spanning-tree / reference-KF propagation — the reference's
@@ -944,21 +981,15 @@ class LocalMapper:
             return False
         fetch = pend.get("fetch")
         if fetch is None:
-            if not block:
-                is_ready = getattr(pend["dev_R"], "is_ready", None)
-                if is_ready is not None and not is_ready():
-                    return False
+            is_ready = getattr(pend["dev_R"], "is_ready", None)
+            if block or is_ready is None or is_ready():
                 from ..utils.async_fetch import BackgroundFetch
 
-                pend["fetch"] = BackgroundFetch(
+                fetch = pend["fetch"] = BackgroundFetch(
                     (pend["dev_R"], pend["dev_t"], pend["dev_X"]))
-                return False
-            arrays = jax.device_get(
-                (pend["dev_R"], pend["dev_t"], pend["dev_X"]))
-        else:
-            if not block and not fetch.done():
-                return False
-            arrays = fetch.get()
+        if not block or start_fetch_only:
+            return False
+        arrays = fetch.get()
         self._gba_pending = None
         store = self.store
         if store.correction_epoch != pend["epoch"]:

@@ -117,6 +117,15 @@ class _SummaryRef:
         return self._block.fetch.get()[self._row]
 
 
+# Deterministic-schedule landing offsets (in dispatched frames). A result
+# dispatched at frame k is folded in EXACTLY at frame k+LAG (blocking if
+# its background transfer hasn't landed) — never earlier, so pipeline
+# decisions cannot depend on host scheduling. Transfers normally land in
+# 1-2 frames; the block only engages under contention.
+KF_MINT_LAG = 2   # deferred keyframe mint completion
+ACC_LAG = 2       # visible/found accumulator fold-in
+
+
 @dataclass
 class TrajectoryEntry:
     timestamp: float
@@ -267,20 +276,21 @@ class Tracker:
     # ------------------------------------------------------------------
     def process(self, img, timestamp, bird_img=None, bird_mask=None,
                 depth_img=None, right_img=None) -> FrameData:
+        # DETERMINISTIC SCHEDULE: every overlapped result lands at a FIXED
+        # frame offset from its dispatch (blocking if the transfer hasn't
+        # arrived), never "as soon as it happens to be ready". Polling
+        # `done()` made pipeline decisions (mints, stat folds, BA
+        # writebacks) a function of host scheduling — hostile-tier ATE
+        # measured 0.034 idle / 0.064-0.090 under load for IDENTICAL
+        # inputs. With fixed landing ticks the dynamics are a pure
+        # function of frame indices: same inputs, same map, any host, any
+        # load. The overlap itself is untouched — transfers still ride
+        # worker threads from dispatch time; only the fold-in points are
+        # pinned.
         self._apply_landed_acc(block=self.cfg.tracking.synchronous)
-        # force-complete a deferred keyframe mint after 4 dispatched
-        # frames: the background fetch normally lands in 1-2 frames, but
-        # under host contention the worker thread can starve, and
-        # unbounded mint latency lets fast motion burn through the
-        # visible map. The bound is FRAME-indexed, not wall-clock — a
-        # wall bound (round 3's 250 ms) fires at scheduling-dependent
-        # points during compile stalls / host load, which measurably
-        # shifted hostile-tier ATE between identical runs; with a frame
-        # bound the mint lands within [1, 4] frames of the decision on
-        # every host.
-        force = (self._kf_pending is not None
-                 and self.frame_id - self._kf_pending[2] >= 4)
-        self._complete_pending_keyframe(block=force)
+        if (self._kf_pending is not None
+                and self.frame_id - self._kf_pending[2] >= KF_MINT_LAG):
+            self._complete_pending_keyframe(block=True)
         if self.mapper is not None:
             epoch0 = (self.mapper.pose_epoch, self.store.correction_epoch)
             self.mapper.poll_background()
@@ -292,16 +302,6 @@ class Tracker:
                 # small deltas, and resyncing costs a velocity^lag
                 # extrapolation that fails under rotation.
                 self._chain = None
-        # retire every in-flight frame whose summary ALREADY landed before
-        # deciding anything about this frame: on a fast link every
-        # predecessor finalizes (mints, fallbacks, velocity updates) before
-        # this frame dispatches — semantics converge to the synchronous
-        # pipeline — while on a 35 ms-latency link the still-riding fetches
-        # stay in flight and the overlap is untouched. Retiring only after
-        # dispatch (round 3) hard-wired a >=1-frame semantic lag even when
-        # the link was instant; measured 2.5-6x ATE inflation on the
-        # hostile tier vs synchronous mode.
-        self._retire_landed()
         sensor = self.cfg.sensor
         mode_ok = (
             (bird_img is None and depth_img is None and right_img is None
@@ -468,19 +468,22 @@ class Tracker:
         from ..utils.async_fetch import BackgroundFetch
 
         self._acc_pending.append(
-            (BackgroundFetch(self._acc), self._lm_ids, self._lm_n))
+            (BackgroundFetch(self._acc), self._lm_ids, self._lm_n,
+             self.frame_id))
         self._acc = None
 
     def _apply_landed_acc(self, block: bool = False):
+        """Fold accumulator fetches that are >= ACC_LAG frames old
+        (deterministic landing tick; `block` folds everything — flush)."""
         store = self.store
         keep = []
-        for fetch, ids, n in self._acc_pending:
-            if block or fetch.done():
+        for fetch, ids, n, tick in self._acc_pending:
+            if block or self.frame_id - tick >= ACC_LAG:
                 vis, found = fetch.get()
                 np.add.at(store.mp_visible, ids[:n], vis[:n])
                 np.add.at(store.mp_found, ids[:n], found[:n])
             else:
-                keep.append((fetch, ids, n))
+                keep.append((fetch, ids, n, tick))
         self._acc_pending = keep
 
     def _process_fused(self, img, timestamp, bird_img=None,
@@ -625,10 +628,15 @@ class Tracker:
                     self.store.correction_epoch)
         self._pending_q.append((fd, out, fetch, snapshot))
         self._chain = (out.R, out.t, out.R_pred_next, out.t_pred_next)
-        # retire every frame whose summary already landed; enforce max lag
+        # DETERMINISTIC retirement: every frame finalizes EXACTLY when the
+        # queue exceeds `fused_max_lag` — i.e. at a fixed frame offset
+        # from its dispatch — never earlier when its fetch happens to
+        # land. Opportunistic (done()-polled) retirement made mint and
+        # fallback timing a function of host scheduling: identical inputs
+        # measured 0.034-0.090 hostile ATE depending on load. Fixed-depth
+        # semantics cost the best case a little and make every host run
+        # the same trajectory.
         disruption = False
-        while self._pending_q and self._pending_q[0][2].done():
-            disruption |= self._finalize_pending()
         max_lag = (cfgt.fused_max_lag
                    if cfgt.fused_lag1 and not cfgt.synchronous else 0)
         if len(self._pending_q) > max_lag:
@@ -646,15 +654,6 @@ class Tracker:
             # (_update_last_frame's ref-KF-relative pose refresh).
             self._chain = None
         return fd
-
-    def _retire_landed(self):
-        """Finalize every in-flight frame whose summary fetch has landed
-        (non-blocking); reset the device pose chain on disruption."""
-        disruption = False
-        while self._pending_q and self._pending_q[0][2].done():
-            disruption |= self._finalize_pending()
-        if disruption:
-            self._chain = None
 
     def _flush_through(self, fd):
         """Finalizer callback for FrameData.pose_ok: drain the retirement

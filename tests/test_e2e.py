@@ -226,7 +226,10 @@ def test_relocalization_after_lost():
     cfg = SlamConfig(camera=cam, orb=ORBConfig(n_features=1000), sensor="rgbd",
                      depth_threshold=40.0)
     cfg.tracking.max_frames_between_kf = 2  # densify KFs past the reset gate
-    n = 16
+    # the deterministic schedule bounds mint cadence at ~1 per
+    # (KF_MINT_LAG+1) frames, so 30 frames guarantees comfortably >5
+    # keyframes (the lost-reset gate fires at <=5)
+    n = 30
     seq = WallSequence(cam, n_frames=n, step=0.03)
     sys_ = System(cfg)
     first_pass = {}

@@ -80,8 +80,10 @@ def test_live_viewer_endpoints():
         assert "cam" in snap and len(snap["cam"]) == 3
         assert "traj" in snap and len(snap["traj"]) % 3 == 0
 
-        # frame overlay: the 404 fetch above marked a client as present,
-        # so a fresh update_frame now encodes and the endpoint serves PNG
+        # frame overlay: a client fetch marks the viewer active for ~5 s
+        # (the tracking loop above can outlast the first fetch's window),
+        # after which update_frame encodes and the endpoint serves PNG
+        _get(viewer.url + "frame")
         img, _ = seq.frame(13)
         viewer.update_frame(img, sys_.tracker.last_frame)
         st, body = _get(viewer.url + "frame")
