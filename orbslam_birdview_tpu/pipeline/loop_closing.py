@@ -72,6 +72,7 @@ class LoopCloser:
         self.n_loops_closed = 0
         self._voc_thread = None
         self._voc_result = None
+        self._voc_started_kf = 0
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -106,8 +107,17 @@ class LoopCloser:
         if self.voc is not None or store.n_kf < 5:
             return
         if self._voc_thread is not None:
-            if self._voc_thread.is_alive():
+            # DETERMINISTIC landing: the trained vocabulary folds in at a
+            # fixed keyframe index (start + 6), never "whenever the
+            # worker happens to finish" — on a loaded host the trainer
+            # could land after the loop-revisit window and loop closing
+            # silently never engaged (a wall-clock race, the same defect
+            # class the deterministic pipeline schedule removes). The
+            # join blocks only if the worker is slower than ~6 keyframe
+            # intervals.
+            if store.n_kf < self._voc_started_kf + 6:
                 return
+            self._voc_thread.join()
             self._voc_thread = None
             if self._voc_result is not None:
                 self.voc = self._voc_result
@@ -125,16 +135,19 @@ class LoopCloser:
                .astype(np.int8) * 2 - 1)
 
         def train():
-            # small budget: 512 words from 8k samples converge to the same
-            # recall on bootstrap-scale maps at ~4x less CPU — the thread
-            # competes with tracking for cores, and a starved trainer
-            # delays loop closing by its whole runtime
+            # 10k words (b=10, d=4) trains in <1 s of worker-thread CPU
+            # and discriminates where the old 512-word budget could not:
+            # on a self-similar circular scene the tiny vocabulary
+            # inflated every pairwise BoW score to ~0.6, the covisible
+            # min-score gate cut the TRUE revisit candidate, and loop
+            # closing silently never fired
             self._voc_result = vocab_mod.train_vocabulary(
-                pm1, branching=8, depth=3, seed=0, max_train=8000,
-                iters=4)
+                pm1, branching=10, depth=4, seed=0, max_train=16000,
+                iters=3)
 
         import threading
 
+        self._voc_started_kf = store.n_kf
         self._voc_thread = threading.Thread(target=train, daemon=False)
         self._voc_thread.start()
 

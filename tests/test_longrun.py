@@ -12,11 +12,6 @@ ground truth at KITTI-like keyframe density.
 import numpy as np
 import pytest
 
-# accuracy-asserting e2e tier: pinned to one xdist worker (see
-# pyproject addopts --dist loadgroup) so runs never contend with each
-# other for CPU — ATE bounds are calibrated for an uncontended worker
-pytestmark = pytest.mark.xdist_group("accuracy")
-
 from orbslam_birdview_tpu.api import SlamConfig
 from orbslam_birdview_tpu.api.system import System
 from orbslam_birdview_tpu.core.camera import PinholeCamera
