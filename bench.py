@@ -13,33 +13,174 @@ This matches the reference's acceptance measurement
 *completed* tracking work): in this engine `track_monocular` can return
 before the frame's pose lands (lag-N retirement), so per-call dispatch
 time is NOT comparable — the record therefore also carries
-`pose_latency_ms` (dispatch -> pose available, median/p90) and per-call
-dispatch stats as secondary latency info, never as the headline.
+`pose_latency_ms` (dispatch -> pose available, median/p90), a
+synchronous-mode fps (`sync_fps`: every frame's pose returned before the
+call returns, the reference's API contract `src/System.cc:284-335`), and
+per-call dispatch stats as secondary latency info, never as the headline.
 
 Baseline: the reference's real-time pacing target is ~30 fps on desktop
 CPU (BASELINE.md; TUM=30fps, fisheye=25fps). vs_baseline = sustained/30.
 
-Prints ONE JSON line — engineered to ALWAYS print inside the driver's
-budget: a repo-local persistent compile cache (gitignored, rebuilt on
-first run), an internal deadline (BENCH_BUDGET_S, default 1200 s) that
-stops the frame loop early and reports what ran, and the headline line
-printed+flushed BEFORE any secondary (birdview, device microbench)
-starts. On secondary success the line is re-printed enriched (both lines
-are complete records with the same headline metric).
+INDESTRUCTIBLE RECORD ARCHITECTURE (round-5): two rounds out of four
+produced no perf record because the tunnel backend either died at init
+(rc=1, r4) or stalled inside a remote call past every between-frame
+deadline check (r2 rc=124). This file is now a SUPERVISOR + CHILD pair:
+
+- parent (default entry): imports NO jax. Spawns this same file as a
+  child process in its own process group, captures its stdout, and
+  enforces the budget with a hard watchdog — a child blocked inside a
+  remote call for 20 minutes gets SIGKILLed and the parent still prints
+  the last complete JSON record the child produced (the child prints the
+  headline BEFORE any secondary starts). If the child never produced a
+  record, the parent prints an rc=0 diagnostic record
+  (value=0, "error": ...) so the driver ALWAYS captures a parseable
+  line with rc=0.
+- child (BENCH_CHILD=1): retries backend init with exponential backoff
+  (the r4 failure was a transient 'axon UNAVAILABLE' that recovered in
+  minutes), then runs the workload in budget slices: the mono headline
+  first, then each secondary (birdview, sync-mode, device ceiling,
+  roofline/MFU) inside its own slice so one slow secondary cannot eat
+  the others.
+
+Self-tests (tests/test_bench_robustness.py) force each failure mode via
+BENCH_SELFTEST={dead_backend,stall,stall_after_headline} and assert a
+parseable rc=0 JSON line lands inside the budget.
 """
 import json
 import os
+import signal
+import subprocess
+import sys
+import threading
 import time
-
-import numpy as np
 
 T_START = time.perf_counter()
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
 WARMUP = 10  # compile-window frames excluded from sustained fps (reported)
+SELFTEST = os.environ.get("BENCH_SELFTEST", "")
+
+HEADLINE_METRIC = "pipeline_sustained_fps_1chip"
 
 
 def _remaining():
     return BUDGET_S - (time.perf_counter() - T_START)
+
+
+# ---------------------------------------------------------------------------
+# parent: watchdog supervisor (no jax anywhere on this path)
+# ---------------------------------------------------------------------------
+
+def parent_main():
+    env = dict(os.environ)
+    env["BENCH_CHILD"] = "1"
+    # child gets a slightly smaller internal budget so it can finish its
+    # own flush + final print before the parent's hard kill fires
+    env["BENCH_BUDGET_S"] = str(max(BUDGET_S - 75.0, 30.0))
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        stdout=subprocess.PIPE, stderr=sys.stderr,
+        env=env, start_new_session=True, text=True)
+    records = []          # every parseable JSON record line, in order
+    lock = threading.Lock()
+
+    def reader():
+        for raw in child.stdout:
+            raw = raw.strip()
+            if not raw:
+                continue
+            try:
+                rec = json.loads(raw)
+            except ValueError:
+                print(raw, file=sys.stderr)
+                continue
+            if isinstance(rec, dict) and rec.get("metric"):
+                with lock:
+                    records.append(rec)
+            else:
+                print(raw, file=sys.stderr)
+
+    th = threading.Thread(target=reader, daemon=True)
+    th.start()
+    # hard deadline: the child checks its own budget between frames, but a
+    # single blocked remote call defeats that (observed r4: 21 min past a
+    # 900 s deadline) — the parent's kill does not care what the child is
+    # blocked on
+    deadline = max(BUDGET_S - 35.0, 20.0)
+    killed = False
+    while True:
+        rc = child.poll()
+        if rc is not None:
+            break
+        if time.perf_counter() - T_START > deadline:
+            killed = True
+            try:
+                os.killpg(child.pid, signal.SIGKILL)
+            except OSError:
+                pass
+            child.wait()
+            break
+        time.sleep(0.5)
+    th.join(timeout=10.0)
+    with lock:
+        last = records[-1] if records else None
+    if last is None:
+        last = {
+            "metric": HEADLINE_METRIC,
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": ("watchdog_timeout" if killed
+                      else f"child_exit_no_record_rc{child.returncode}"),
+            "elapsed_s": round(time.perf_counter() - T_START, 1),
+        }
+    elif killed:
+        last = dict(last)
+        last["watchdog_killed_secondary"] = True
+    print(json.dumps(last))
+    sys.stdout.flush()
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# child: backend init with retry, then the workload in budget slices
+# ---------------------------------------------------------------------------
+
+def _init_backend_with_retry():
+    """First device touch with exponential-backoff retry.
+
+    The r4 driver run died with `Unable to initialize backend 'axon':
+    UNAVAILABLE` on the FIRST jnp op and never printed a record; the same
+    tunnel recovered within minutes when re-probed. Retry budget is the
+    smaller of BENCH_INIT_RETRY_S and half the remaining bench budget.
+    Returns (ok, n_attempts, last_error)."""
+    retry_s = float(os.environ.get("BENCH_INIT_RETRY_S", "480"))
+    t0 = time.perf_counter()
+    attempt = 0
+    last_err = ""
+    delay = 5.0
+    while True:
+        attempt += 1
+        try:
+            if SELFTEST == "dead_backend":
+                raise RuntimeError(
+                    "Unable to initialize backend 'axon': UNAVAILABLE "
+                    "(selftest)")
+            import jax
+
+            n = len(jax.devices())
+            import jax.numpy as jnp
+
+            float(jnp.zeros(()) + 1.0)  # force a real compile+execute
+            return True, attempt, ""
+        except Exception as e:  # noqa: BLE001 — any backend error retries
+            last_err = f"{type(e).__name__}: {e}"
+            print(f"[bench] backend init attempt {attempt} failed: "
+                  f"{last_err[:300]}", file=sys.stderr)
+        used = time.perf_counter() - t0
+        if used + delay > retry_s or _remaining() < delay + 120.0:
+            return False, attempt, last_err
+        time.sleep(delay)
+        delay = min(delay * 2.0, 120.0)
 
 
 def _run_stats(times, dispatch_t0, fds, wall_total, warmup_s, done):
@@ -49,6 +190,8 @@ def _run_stats(times, dispatch_t0, fds, wall_total, warmup_s, done):
     timestamps. fds: FrameData returned per frame (carry _finalized_wall
     once retired). wall_total: first-call -> post-flush wall. warmup_s:
     wall of the first WARMUP frames."""
+    import numpy as np
+
     times = np.asarray(times)
     steady = times[WARMUP:]
     lat = np.array([fd._finalized_wall - t0
@@ -74,7 +217,13 @@ def _run_stats(times, dispatch_t0, fds, wall_total, warmup_s, done):
     return out
 
 
-def pipeline_fps(n_frames: int = 300):
+def pipeline_fps(n_frames: int = 300, reserve_s: float = 0.0,
+                 synchronous: bool = False, min_frames: int = 50):
+    """Mono pipeline sustained fps. `reserve_s`: bail out of the frame loop
+    early if the remaining global budget would dip below this (keeps later
+    budget slices alive on a pathological tunnel)."""
+    import numpy as np
+
     from orbslam_birdview_tpu.api.config import SlamConfig
     from orbslam_birdview_tpu.api.system import System
     from orbslam_birdview_tpu.core.camera import PinholeCamera
@@ -84,6 +233,8 @@ def pipeline_fps(n_frames: int = 300):
                         width=640, height=480)
     cfg = SlamConfig(sensor="mono")
     cfg.camera = cam
+    if synchronous:
+        cfg.tracking.synchronous = True
     seq = synth.WallSequence(cam, n_frames=n_frames, step=0.015, push=0.002)
     frames = []
     gt = []
@@ -111,7 +262,7 @@ def pipeline_fps(n_frames: int = 300):
             warmup_end = time.perf_counter()
         # deadline guard: keep enough budget to flush the pipeline and
         # print the headline even if cold compiles ate the run
-        if _remaining() < 60 and done >= 50:
+        if _remaining() < max(60.0, reserve_s) and done >= min_frames:
             break
     sys_._flush()
     wall_total = time.perf_counter() - wall0
@@ -137,25 +288,25 @@ def pipeline_fps(n_frames: int = 300):
         stats["summary_batch_mean"] = float(np.mean(bs))
         stats["forced_block_s"] = float(sys_.tracker.forced_block_s)
     if os.environ.get("BENCH_STAGES"):
-        import sys as _s
-
         from orbslam_birdview_tpu.utils.profiling import GLOBAL_TIMER
 
         print("--- tracker stages ---\n" + sys_.tracker.timer.summary(),
-              file=_s.stderr)
+              file=sys.stderr)
         print("--- mapping stages ---\n" + GLOBAL_TIMER.summary(),
-              file=_s.stderr)
+              file=sys.stderr)
     return stats
 
 
-def bird_pipeline_fps(n_frames: int = 120):
+def bird_pipeline_fps(n_frames: int = 240, slice_s: float = 480.0):
     """Secondary: the fork's signature mono+birdview mode end-to-end at the
     reference's 2000-feature budget on BOTH streams
     (`Examples/Monocular/fisheye.yaml:28-41`, `src/Frame.cc:329`).
 
-    Round-2 review asked that the fused birdview path land within 2x of
-    mono pipeline fps; measured the same honest way (sustained wall-clock
-    fps, warm-up excluded and reported)."""
+    Measured the same honest way as the headline (sustained wall-clock
+    fps, warm-up excluded and reported) over >=200 frames — the r4 record
+    sampled only 40 frames / 6 keyframes, far from steady state."""
+    import numpy as np
+
     import jax.numpy as jnp
 
     from orbslam_birdview_tpu.api.config import SlamConfig
@@ -164,6 +315,11 @@ def bird_pipeline_fps(n_frames: int = 120):
     from orbslam_birdview_tpu.core.camera import BirdviewCamera, PinholeCamera
     from orbslam_birdview_tpu.frontend.orb import ORBConfig
     from orbslam_birdview_tpu.utils.synth import BirdSequence
+
+    t_slice0 = time.perf_counter()
+
+    def slice_left():
+        return slice_s - (time.perf_counter() - t_slice0)
 
     cam = PinholeCamera(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
                         width=640, height=480)
@@ -198,21 +354,26 @@ def bird_pipeline_fps(n_frames: int = 120):
         done = i + 1
         if done == WARMUP:
             warmup_end = time.perf_counter()
-        if _remaining() < 120 and done >= 40:
+        if ((slice_left() < 30 or _remaining() < 90) and done >= 40):
             break
     sys_._flush()
     wall_total = time.perf_counter() - wall0
     s = _run_stats(times, t0s, fds, wall_total, warmup_end - wall0, done)
-    return {
+    out = {
         "bird_fps": round(s["sustained_fps"], 2),
         "bird_dispatch_median_ms": round(s["dispatch_median_ms"], 2),
         "bird_n_frames": done,
         "bird_keyframes": sys_.n_keyframes(),
     }
+    if "pose_latency_ms" in s:
+        out["bird_pose_latency_ms"] = round(s["pose_latency_ms"], 1)
+    return out
 
 
 def device_step_fps():
     """Pure device tracking-step scan (no host orchestration): the ceiling."""
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
 
@@ -288,28 +449,173 @@ def device_step_fps():
     return 1.0 / step_s
 
 
-def main():
-    import sys
+def roofline():
+    """MFU / utilization accounting (BASELINE.json north star is
+    'speed-of-light per chip' — this makes it measurable, not rhetorical).
 
-    try:
-        import jax
+    Measures the chip's ACHIEVED matmul peak (large bf16 and int8
+    matmuls, f32/i32 accumulation), then the achieved throughput of the
+    two hot MXU stages with known analytic flop counts:
 
-        # repo-local persistent compile cache (gitignored): a cold run
-        # pays the compiles once, every later run on this box reuses them
-        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache_tpu")
-        os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        # persist EVERYTHING: on the tunnel backend even a scalar-add
-        # compiles in ~0.35 s remotely; dozens of such eager ops on the
-        # cold path cost ~30 s/run unless cached
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:
-        pass
-    pipe = pipeline_fps()
+    - the Hamming distance matrix (frontend.matcher): an int8
+      (P,256)x(256,K) matmul, 2*P*K*256 ops per frame — the engine
+      computes it once per frame and reuses it for all matching stages;
+    - the dense-W Schur local BA (graph.ba at the prewarm ladder shape):
+      dominated by the W*(Hpp^-1 W^T) coupling products,
+      ~2 * (6C)*(3P)*(6C) + 2*(E*per-edge) flops per LM iteration.
+
+    mfu_* = achieved / measured same-precision peak. All timings use a
+    jit-scanned loop so the tunnel dispatch RTT amortizes out."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def timed(fn, n_calls=3):
+        fn()  # compile
+        ts = []
+        for _ in range(n_calls):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    out = {}
+    N, REP = 4096, 8
+    a16 = jnp.ones((N, N), jnp.bfloat16)
+    b16 = jnp.ones((N, N), jnp.bfloat16)
+
+    @jax.jit
+    def peak_bf16():
+        def body(c, _):
+            c = jnp.dot(c, b16, preferred_element_type=jnp.float32)
+            return c.astype(jnp.bfloat16), None
+        o, _ = lax.scan(body, a16, None, length=REP)
+        return jnp.sum(o.astype(jnp.float32))
+
+    t = timed(lambda: float(np.asarray(peak_bf16())))
+    out["tflops_peak_bf16"] = REP * 2 * N**3 / t / 1e12
+
+    a8 = jnp.ones((N, N), jnp.int8)
+    b8 = jnp.ones((N, N), jnp.int8)
+
+    @jax.jit
+    def peak_int8():
+        def body(c, i):
+            o = jnp.dot(a8 + c.astype(jnp.int8), b8,
+                        preferred_element_type=jnp.int32)
+            return (o[0, 0] % 3).astype(jnp.int32), None
+        o, _ = lax.scan(body, jnp.int32(0), None, length=REP)
+        return o
+
+    t = timed(lambda: int(np.asarray(peak_int8())))
+    out["tops_peak_int8"] = REP * 2 * N**3 / t / 1e12
+
+    # Hamming matrix at the production shape: P=2048 frame kps x K=2048
+    # map/KF kps, 256-bit descriptors in +-1 int8 form
+    P = K = 2048
+    rng = np.random.default_rng(0)
+    dp = jnp.asarray((rng.integers(0, 2, (P, 256)) * 2 - 1).astype(np.int8))
+    dk = jnp.asarray((rng.integers(0, 2, (K, 256)) * 2 - 1).astype(np.int8))
+    HREP = 64
+
+    @jax.jit
+    def hamming_rep():
+        def body(c, _):
+            dot = jnp.dot(dp, dk.T, preferred_element_type=jnp.int32)
+            ham = (256 - dot) // 2
+            return c + ham[0, 0], None
+        o, _ = lax.scan(body, jnp.int32(0), None, length=HREP)
+        return o
+
+    t = timed(lambda: int(np.asarray(hamming_rep())))
+    ham_tops = HREP * 2 * P * K * 256 / t / 1e12
+    out["tops_hamming_int8"] = ham_tops
+    out["mfu_hamming"] = ham_tops / max(out["tops_peak_int8"], 1e-9)
+
+    # dense-W Schur local BA at the production prewarm shape
+    from orbslam_birdview_tpu.graph import ba
+
+    C, Pn, E = 48, 8192, 16384
+    it1, it2 = 5, 10
+    Rc = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (C, 3, 3))
+    tc = jnp.zeros((C, 3), jnp.float32)
+    fixed = jnp.zeros(C, bool).at[0].set(True)
+    pts = jnp.concatenate([jnp.asarray(
+        rng.uniform(-3, 3, (Pn, 2)).astype(np.float32)),
+        jnp.full((Pn, 1), 8.0, jnp.float32)], 1)
+    ecam = jnp.asarray(rng.integers(0, C, E).astype(np.int32))
+    ept = jnp.asarray(rng.integers(0, Pn, E).astype(np.int32))
+    X = np.asarray(pts)[np.asarray(ept)]
+    obs = np.stack([500.0 * X[:, 0] / X[:, 2] + 320.0,
+                    500.0 * X[:, 1] / X[:, 2] + 240.0], -1)
+    es = ba.EdgeSet(ecam, ept, jnp.asarray(obs.astype(np.float32)),
+                    jnp.ones(E, jnp.float32), jnp.ones(E, bool))
+    aux = ba.EdgeSet(jnp.zeros(E // 4, jnp.int32),
+                     jnp.zeros(E // 4, jnp.int32),
+                     jnp.full((E // 4, 3), 1.0, jnp.float32),
+                     jnp.zeros(E // 4, jnp.float32),
+                     jnp.zeros(E // 4, bool))
+
+    def run_ba():
+        r = ba.bundle_adjust(
+            Rc, tc, fixed, jnp.ones(C, bool), pts, jnp.ones(Pn, bool),
+            es, aux, aux, 500.0, 500.0, 320.0, 240.0, bf=0.0,
+            iters_phase1=it1, iters_phase2=it2)
+        jax.block_until_ready(r.cam_R)
+
+    t = timed(run_ba)
+    iters = it1 + it2
+    # per iteration: S = Hcc - W Hpp^-1 W^T with W (6C,3P) materialized;
+    # the two coupling matmuls dominate: 2 * [ (6C)(3P)(6C) ] * 2 flops,
+    # plus edge assembly ~E * 2 * (6*3*2 reproj jacobian products) ~ small
+    w_flops = 2 * 2 * (6 * C) * (3 * Pn) * (6 * C)
+    out["tflops_schur"] = iters * w_flops / t / 1e12
+    out["mfu_schur"] = (out["tflops_schur"]
+                        / max(out["tflops_peak_bf16"], 1e-9))
+    return {k: round(v, 3) for k, v in out.items()}
+
+
+def child_main():
+    if SELFTEST == "stall":
+        time.sleep(10 ** 6)
+    ok, attempts, err = _init_backend_with_retry()
+    if not ok:
+        print(json.dumps({
+            "metric": HEADLINE_METRIC,
+            "value": 0.0,
+            "unit": "frames/s",
+            "vs_baseline": 0.0,
+            "error": "backend_unavailable",
+            "init_attempts": attempts,
+            "last_error": err[:300],
+        }))
+        sys.stdout.flush()
+        return
+    if SELFTEST == "stall_after_headline":
+        print(json.dumps({
+            "metric": HEADLINE_METRIC, "value": 1.0, "unit": "frames/s",
+            "vs_baseline": 0.033, "selftest": "stall_after_headline"}))
+        sys.stdout.flush()
+        time.sleep(10 ** 6)
+    import jax
+
+    # repo-local persistent compile cache (gitignored): a cold run
+    # pays the compiles once, every later run on this box reuses them
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache_tpu")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    # persist EVERYTHING: on the tunnel backend even a scalar-add
+    # compiles in ~0.35 s remotely; dozens of such eager ops on the
+    # cold path cost ~30 s/run unless cached
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+    pipe = pipeline_fps(reserve_s=420.0)
     line = {
-        "metric": "pipeline_sustained_fps_1chip",
+        "metric": HEADLINE_METRIC,
         "value": round(pipe["sustained_fps"], 2),
         "unit": "frames/s",
         "vs_baseline": round(pipe["sustained_fps"] / 30.0, 3),
@@ -319,6 +625,7 @@ def main():
         "dispatch_median_ms": round(pipe["dispatch_median_ms"], 2),
         "dispatch_p90_ms": round(pipe["dispatch_p90_ms"], 2),
         "dispatch_mean_ms": round(pipe["dispatch_mean_ms"], 2),
+        "init_attempts": attempts,
         "n_frames": pipe["n_frames"],
         "tracked_frames": pipe["tracked_frames"],
         "keyframes": pipe["keyframes"],
@@ -328,33 +635,54 @@ def main():
               "summary_batch_mean", "forced_block_s", "prewarm_s"):
         if k in pipe:
             line[k] = round(pipe[k], 2)
-    # secondary benches only if the budget comfortably allows; their
-    # absence or failure never suppresses the headline. Print-and-flush
-    # the headline FIRST: the record must exist even if a secondary hangs.
+    # the headline record exists from this point on, whatever happens to
+    # the secondaries — print-and-flush FIRST (the parent keeps the last
+    # complete line it saw)
     print(json.dumps(line))
     sys.stdout.flush()
-    extras = {}
-    if _remaining() > 300:
-        try:
-            extras.update(bird_pipeline_fps())
-        except Exception as e:  # pragma: no cover
-            print(f"bird bench skipped: {e}", file=sys.stderr)
-    if _remaining() > 180:
-        try:
-            extras["device_step_fps"] = round(device_step_fps(), 1)
-        except Exception as e:  # pragma: no cover
-            print(f"device_step_fps skipped: {e}", file=sys.stderr)
-    if extras:
+
+    def add(extras):
         line.update({k: (round(v, 2) if isinstance(v, float) else v)
                      for k, v in extras.items()})
         print(json.dumps(line))
         sys.stdout.flush()
 
+    # each secondary gets its own bounded budget slice; one slow
+    # secondary can no longer consume the rest (r4: the bird bench ate
+    # the device_step slice and the field silently vanished)
+    secondaries = [
+        ("bird", lambda: bird_pipeline_fps(
+            slice_s=min(max(_remaining() - 220.0, 120.0), 480.0)), 160.0),
+        ("sync", lambda: {
+            "sync_fps": round(pipeline_fps(
+                n_frames=150, reserve_s=_remaining() - 150.0,
+                synchronous=True, min_frames=40)["sustained_fps"], 2)},
+         140.0),
+        ("device_step", lambda: {
+            "device_step_fps": round(device_step_fps(), 1)}, 70.0),
+        ("roofline", roofline, 50.0),
+    ]
+    for name, fn, min_budget in secondaries:
+        if _remaining() < min_budget:
+            print(f"[bench] skipping {name}: {_remaining():.0f}s left "
+                  f"< {min_budget:.0f}s slice", file=sys.stderr)
+            continue
+        try:
+            add(fn())
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] {name} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
 
 if __name__ == "__main__":
-    main()
-    import sys
-
-    sys.stdout.flush()
-    sys.stderr.flush()
-    os._exit(0)  # the tunnel backend can hang interpreter teardown
+    if os.environ.get("BENCH_CHILD"):
+        try:
+            child_main()
+        finally:
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(0)  # the tunnel backend can hang interpreter teardown
+    else:
+        rc = parent_main()
+        sys.stdout.flush()
+        os._exit(rc)

@@ -117,6 +117,13 @@ class SlamConfig:
     mapping: MappingConfig = field(default_factory=MappingConfig)
     max_keyframes: int = 256
     sensor: str = "mono"     # mono | stereo | rgbd | mono_bird
+    # vocabulary source: "auto" loads the packaged 100k-word artifact
+    # (data/vocab_100k.npz, trained by tools/train_vocab.py) at System
+    # construction like the reference's up-front ~1M-word load
+    # (src/System.cc:70-83); a path loads that file (.npz native, or
+    # DBoW2 .txt/.bin via mapping.vocab.load_dbow2); None disables the
+    # up-front load and falls back to the in-run 10^4-word bootstrap
+    vocab_path: Optional[str] = "auto"
     fps: float = 30.0
     depth_threshold: float = 40.0  # ThDepth * baseline, stereo/RGBD
     depth_map_factor: float = 5000.0  # TUM RGB-D

@@ -17,6 +17,32 @@ from ..pipeline.tracking import LOST, NOT_INITIALIZED, OK, Tracker
 from .config import SlamConfig
 
 
+def _load_default_vocabulary(cfg: SlamConfig):
+    """Load the production vocabulary up front, like the reference's
+    `System` constructor (`src/System.cc:70-83`, ~1M-word DBoW2 load).
+
+    cfg.vocab_path: "auto" -> the packaged 100k-word artifact (trained by
+    tools/train_vocab.py); an explicit path -> that file (.npz native or
+    DBoW2 .txt/.bin); None -> skip (the loop closer then bootstraps a
+    10^4-word vocabulary from map descriptors mid-run, the pre-r5
+    behavior, kept for minimal test fixtures)."""
+    import os
+
+    from ..mapping import vocab as vocab_mod
+
+    path = cfg.vocab_path
+    if path is None:
+        return None
+    if path == "auto":
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "vocab_100k.npz")
+        if not os.path.exists(path):
+            return None          # artifact absent: bootstrap fallback
+    if path.endswith(".npz"):
+        return vocab_mod.Vocabulary.load(path)
+    return vocab_mod.load_dbow2(path)
+
+
 class System:
     def __init__(self, cfg: SlamConfig, vocabulary=None,
                  enable_loop_closing: bool = True):
@@ -28,6 +54,8 @@ class System:
         if enable_loop_closing:
             from ..pipeline.loop_closing import LoopCloser
 
+            if vocabulary is None:
+                vocabulary = _load_default_vocabulary(cfg)
             self.loop_closer = LoopCloser(cfg, self.store, self.mapper,
                                           vocabulary=vocabulary)
             self.mapper.loop_closer = self.loop_closer

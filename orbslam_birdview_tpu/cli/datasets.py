@@ -177,28 +177,52 @@ def load_euroc(root: str, cam: str = "cam0", stereo: bool = False,
         yield FrameRecord(ts, img, right=right)
 
 
-def load_fisheye_birdview(root: str, crop=(1900, 800), scale: float = 0.5
+def load_fisheye_birdview(root: str, crop=(1900, 800), scale: float = 0.5,
+                          front_mask_path: Optional[str] = None
                           ) -> Iterator[FrameRecord]:
-    """The fork's driver format (`mono_fisheye.cc:171-200`): associate.txt
-    lines `timestamp x y theta front_img bird_img mask_img`; front image is
-    masked/cropped/downscaled (`:102-116`), BEV mask binarized."""
+    """The fork's driver format, byte-accurate to `mono_fisheye.cc`:
+
+    - `associate.txt` lines are `timestamp x y theta image_name` (FIVE
+      whitespace fields, `LoadDataset` at `mono_fisheye.cc:171-200`); the
+      three per-frame files are derived as `image/<name>`,
+      `birdview/<name>`, `mask/<name>` — the name appears ONCE per line.
+    - the front image is zeroed wherever a GLOBAL front mask's green
+      channel exceeds 250 (`applyMask`, `:205-212`; the driver loads
+      `mask_new_front.png` once at `:56`), then cropped from the ORIGIN
+      to 1900x800 (`cv::Rect(0,0,1900,800)`, `:110-114`) and downscaled
+      0.5x (`:116`).
+    - the per-frame birdview mask is binarized on its GREEN channel:
+      <20 -> masked out (`ConvertMaskBirdview`, `:244-260`); the vehicle
+      footprint rectangle is carved by the Frame builder downstream.
+    """
+    if front_mask_path is None:
+        cand = os.path.join(root, "mask_new_front.png")
+        front_mask_path = cand if os.path.exists(cand) else None
+    fmask = None
+    if front_mask_path is not None:
+        fm = cv2.imread(front_mask_path, cv2.IMREAD_COLOR)
+        if fm is not None:
+            fmask = fm[:, :, 1] > 250   # green channel, BGR order
     with open(os.path.join(root, "associate.txt")) as f:
         for line in f:
             parts = line.split()
-            if len(parts) < 7:
+            if len(parts) < 5:
                 continue
             ts, x, y, th = (float(p) for p in parts[:4])
-            img = _gray(os.path.join(root, parts[4]))
-            bird = _gray(os.path.join(root, parts[5]))
-            mask = cv2.imread(os.path.join(root, parts[6]),
-                              cv2.IMREAD_GRAYSCALE)
+            name = parts[4]
+            img = _gray(os.path.join(root, "image", name))
+            bird = _gray(os.path.join(root, "birdview", name))
+            mask = cv2.imread(os.path.join(root, "mask", name),
+                              cv2.IMREAD_COLOR)
+            if fmask is not None and fmask.shape == img.shape:
+                img = np.where(fmask, 0.0, img)
             h, w = img.shape
             cw, ch = crop
-            if w > cw and h > ch:
-                x0 = (w - cw) // 2
-                img = img[:ch, x0 : x0 + cw]
+            if w >= cw and h >= ch:
+                img = img[:ch, :cw]   # origin crop, not centered
             if scale != 1.0:
                 img = cv2.resize(img, None, fx=scale, fy=scale)
-            bmask = (mask > 127).astype(np.float32) if mask is not None else None
+            bmask = ((mask[:, :, 1] >= 20).astype(np.float32)
+                     if mask is not None else None)
             yield FrameRecord(ts, img, bird=bird, bird_mask=bmask,
                               odom_pose=np.array([x, y, th]))

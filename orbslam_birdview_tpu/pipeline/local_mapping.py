@@ -36,6 +36,10 @@ from . import device_ops
 STAGE_LAG_FRAMES = 2   # keyframe stage (triangulate / fuse) advance
 BA_LAG_FRAMES = 6      # local-BA writeback
 GBA_LAG_FRAMES = 12    # global-BA writeback (full-map solve)
+# fuse batch row layout, shared by _dispatch_fuse and _apply_fuse: the
+# reverse-pass row id is FUSE_ROW_PAD-1, so both sides MUST agree
+FUSE_FWD_ROWS = 10
+FUSE_ROW_PAD = FUSE_FWD_ROWS + 1
 
 
 class LocalMapper:
@@ -121,6 +125,11 @@ class LocalMapper:
         queued keyframes), land local BA, then every remaining GBA round."""
         self.drain_kf_stages()
         self.finalize_ba(block=True)
+        if self.loop_closer is not None:
+            # a finished vocabulary trainer must land even when the run
+            # ends before its fixed keyframe tick (otherwise loop closing
+            # and BoW relocalization stay silently disabled)
+            self.loop_closer.flush_vocab()
         while self._gba_pending is not None:
             self.finalize_gba(block=True)
             if self._gba_rounds_left > 0:
@@ -470,8 +479,8 @@ class LocalMapper:
         # forward rows: kf's points into each neighbor; final row: the
         # neighbor union into kf. Point sets differ per row, so the
         # landmark axis is stacked into the batch.
-        n_fwd = 10
-        n_pad = n_fwd + 1
+        n_fwd = FUSE_FWD_ROWS
+        n_pad = FUSE_ROW_PAD
         nbs = np.asarray(
             list(neighbors) + [neighbors[-1]] * (n_fwd - len(neighbors))
             + [kf], np.int64)
@@ -518,7 +527,7 @@ class LocalMapper:
         sel_row, sel_p, sel_tgt, sel_ok, n_acc = fetched
         if int(n_acc) > len(sel_p):
             self.compact_overflows += 1
-        n_pad = 11   # fuse dispatch pads the row axis to n_fwd+1
+        n_pad = FUSE_ROW_PAD   # same row-axis padding as _dispatch_fuse
         for j, nb in enumerate(rows):
             if not store.kf_valid[nb]:
                 continue  # culled while the fuse batch was in flight
@@ -594,7 +603,15 @@ class LocalMapper:
         bmp = store.kf_bird_mp[kf_window]
         bmp_ids = np.unique(bmp[bmp >= 0])
         bmp_ids = bmp_ids[store.bmp_valid[bmp_ids]]
-        bmp_ids = bmp_ids[: max(point_cap - n_mp, 0)]
+        bird_budget = max(point_cap - n_mp, 0)
+        if len(bmp_ids) > bird_budget:
+            # over-budget: uniform stride like the mono points above — a
+            # prefix cut would keep only the OLDEST bird landmarks and
+            # freshly minted BEV points would never be optimized once a
+            # bird-heavy map saturates the cap
+            bmp_ids = (bmp_ids[np.linspace(0, len(bmp_ids) - 1,
+                                           bird_budget).astype(np.int64)]
+                       if bird_budget else bmp_ids[:0])
         n_bmp = len(bmp_ids)
         P = pow2_bucket(n_mp + n_bmp, 1024, point_cap)
         points = np.zeros((P, 3), np.float32)
@@ -715,10 +732,11 @@ class LocalMapper:
                                        aux_pad, aux_pad)
             bird_es, n_bird = mk_edges(b_cam, b_pt, b_obs, b_info, 3,
                                        aux_pad, aux_pad)
-        if n_st == 0:
-            stereo_es = None
-        if n_bird == 0:
-            bird_es = None
+        # NOTE: empty stereo/bird sets stay as all-invalid masked EdgeSets
+        # (NOT None): bundle_adjust's jit cache keys on pytree structure,
+        # and prewarm() compiles the both-aux-present variants — converting
+        # to None here would miss every prewarmed executable and re-pay the
+        # 0.3-8 s remote compile at the first real keyframe event.
         camR_np = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
         camt_np = np.zeros((C, 3), np.float32)
         camR_np[:n_real] = store.kf_R[all_kfs]

@@ -151,6 +151,25 @@ class LoopCloser:
         self._voc_thread = threading.Thread(target=train, daemon=False)
         self._voc_thread.start()
 
+    def flush_vocab(self):
+        """Force-install a finished (or nearly finished) vocabulary trainer
+        regardless of the fixed-tick landing schedule. Called on pipeline
+        drain/flush: if keyframe minting stalled or the sequence ended
+        before tick `start+6`, the steady-state landing never fires and the
+        trained vocabulary would be silently discarded — permanently
+        disabling loop closing and BoW relocalization for the run."""
+        if self.voc is not None or self._voc_thread is None:
+            return
+        self._voc_thread.join()
+        self._voc_thread = None
+        if self._voc_result is not None:
+            self.voc = self._voc_result
+            self._voc_result = None
+            store = self.store
+            self.kfdb = KeyFrameDatabase(self.voc, store)
+            for kf in store.valid_kf_ids():
+                self.kfdb.add_keyframe(int(kf), self._kp_of(int(kf)))
+
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int) -> bool:
         """Returns True if a loop was closed."""
@@ -461,7 +480,11 @@ class LoopCloser:
         fixed[slot[cand]] = True
         if jax.device_count() > 1:
             # edge shards reduced over ICI (parallel/sharded_pose_graph.py);
-            # equals the single-device solve up to reduction order
+            # equals the single-device solve up to reduction order. Same
+            # size-based solver split as the local branch below: dense
+            # (7K,7K) psum for small graphs, matrix-free PCG with one (K,7)
+            # psum per matvec past ~256 vertices (the dense H reduction is
+            # 205 MB of ICI traffic per GN iteration at K=1024)
             from ..parallel import sharded_ba, sharded_pose_graph as spg
 
             mesh = sharded_ba.make_mesh()
@@ -469,23 +492,26 @@ class LoopCloser:
                 mesh, np.array(e_i, np.int32), np.array(e_j, np.int32),
                 np.stack(mR), np.stack(mt), np.array(ms, np.float32),
                 np.array(e_w, np.float32), np.ones(E, bool))
-            R_out, t_out, s_out, cost = spg.sharded_optimize_sim3_graph(
+            ssolver = (spg.sharded_optimize_sim3_graph if K <= 256
+                       else spg.sharded_optimize_sim3_graph_pcg)
+            R_out, t_out, s_out, cost = ssolver(
                 mesh, jnp.asarray(vR), jnp.asarray(vt), jnp.asarray(vs),
                 jnp.asarray(fixed), *sharded, n_iters=20)
         else:
             # pow2-bucket the vertex/edge axes (pad: fixed identity
             # vertices, invalid edges) so repeat loop events reuse one
             # compiled program per bucket instead of compiling per K; the
-            # dense (7K x 7K) solver is right for small graphs, the
-            # matrix-free PCG path above ~256 vertices (a dense K=1024
-            # solve measured ~30 s host-side — tools/time_loop_correction)
+            # dense (7K x 7K) solver is right for small graphs, the EXACT
+            # banded block-Thomas + Woodbury solver above ~256 vertices
+            # (a dense K=1024 solve measured ~30 s host-side; truncated
+            # PCG stalls on hard single-seam graphs at that scale)
             def b2(n):
                 b = 64
                 while b < n:
                     b *= 2
                 return b
 
-            Kp, Ep = b2(K), b2(E)
+            Kp = b2(K)
             vR_p = np.tile(np.eye(3, dtype=np.float32), (Kp, 1, 1))
             vR_p[:K] = vR
             vt_p = np.zeros((Kp, 3), np.float32)
@@ -494,31 +520,101 @@ class LoopCloser:
             vs_p[:K] = vs
             fx_p = np.ones(Kp, bool)
             fx_p[:K] = fixed
-            ei_p = np.zeros(Ep, np.int32)
-            ei_p[:E] = e_i
-            ej_p = np.zeros(Ep, np.int32)
-            ej_p[:E] = e_j
-            mR_p = np.tile(np.eye(3, dtype=np.float32), (Ep, 1, 1))
-            mR_p[:E] = np.stack(mR)
-            mt_p = np.zeros((Ep, 3), np.float32)
-            mt_p[:E] = np.stack(mt)
-            ms_p = np.ones(Ep, np.float32)
-            ms_p[:E] = ms
-            ew_p = np.zeros(Ep, np.float32)
-            ew_p[:E] = e_w
-            ev_p = np.zeros(Ep, bool)
-            ev_p[:E] = True
-            solver = (pose_graph.optimize_sim3_graph if Kp <= 256
-                      else pose_graph.optimize_sim3_graph_pcg)
-            R_out, t_out, s_out, cost = solver(
-                jnp.asarray(vR_p), jnp.asarray(vt_p), jnp.asarray(vs_p),
-                jnp.asarray(fx_p),
-                jnp.asarray(ei_p), jnp.asarray(ej_p),
-                jnp.asarray(mR_p), jnp.asarray(mt_p),
-                jnp.asarray(ms_p),
-                jnp.asarray(ew_p), jnp.asarray(ev_p),
-                n_iters=20,
-            )
+            e_i_np = np.asarray(e_i, np.int64)
+            e_j_np = np.asarray(e_j, np.int64)
+            mR_np = np.stack(mR).astype(np.float32)
+            mt_np = np.stack(mt).astype(np.float32)
+            ms_np = np.asarray(ms, np.float32)
+            ew_np = np.asarray(e_w, np.float32)
+            if Kp <= 256:
+                Ep = b2(E)
+                ei_p = np.zeros(Ep, np.int32)
+                ei_p[:E] = e_i_np
+                ej_p = np.zeros(Ep, np.int32)
+                ej_p[:E] = e_j_np
+                mR_p = np.tile(np.eye(3, dtype=np.float32), (Ep, 1, 1))
+                mR_p[:E] = mR_np
+                mt_p = np.zeros((Ep, 3), np.float32)
+                mt_p[:E] = mt_np
+                ms_p = np.ones(Ep, np.float32)
+                ms_p[:E] = ms_np
+                ew_p = np.zeros(Ep, np.float32)
+                ew_p[:E] = ew_np
+                ev_p = np.zeros(Ep, bool)
+                ev_p[:E] = True
+                R_out, t_out, s_out, cost = pose_graph.optimize_sim3_graph(
+                    jnp.asarray(vR_p), jnp.asarray(vt_p), jnp.asarray(vs_p),
+                    jnp.asarray(fx_p),
+                    jnp.asarray(ei_p), jnp.asarray(ej_p),
+                    jnp.asarray(mR_p), jnp.asarray(mt_p),
+                    jnp.asarray(ms_p),
+                    jnp.asarray(ew_p), jnp.asarray(ev_p),
+                    n_iters=20,
+                )
+            else:
+                # banded path: orient every edge i<j (Sim3-inverting the
+                # swapped measurements), split by slot distance into the
+                # tridiagonal band (d <= g) and the long-range Woodbury
+                # set (loop edges + revisit covisibility)
+                g_sn = 8
+                swap = e_i_np > e_j_np
+                ei2 = np.where(swap, e_j_np, e_i_np).astype(np.int32)
+                ej2 = np.where(swap, e_i_np, e_j_np).astype(np.int32)
+                inv_s = 1.0 / ms_np
+                Rt = np.swapaxes(mR_np, 1, 2)
+                mt_inv = -inv_s[:, None] * np.einsum(
+                    "nij,nj->ni", Rt, mt_np)
+                mR2 = np.where(swap[:, None, None], Rt, mR_np)
+                mt2 = np.where(swap[:, None], mt_inv, mt_np)
+                ms2 = np.where(swap, inv_s, ms_np)
+                dslot = ej2 - ei2
+                in_band = dslot <= g_sn
+                n_long = int((~in_band).sum())
+                if n_long > 256:
+                    # rank cap: uniform-stride the long set (rare; a graph
+                    # this loopy is better served by the dense solver)
+                    keep = np.zeros(len(ei2), bool)
+                    keep[in_band] = True
+                    li = np.nonzero(~in_band)[0]
+                    keep[li[np.linspace(0, len(li) - 1, 256).astype(
+                        np.int64)]] = True
+                    ei2, ej2 = ei2[keep], ej2[keep]
+                    mR2, mt2, ms2 = mR2[keep], mt2[keep], ms2[keep]
+                    ew2 = ew_np[keep]
+                    in_band = (ej2 - ei2) <= g_sn
+                else:
+                    ew2 = ew_np
+
+                def padgrp(mask, lo):
+                    n = int(mask.sum())
+                    cap = b2(max(n, 1)) if max(n, 1) > lo else lo
+                    out_i = np.zeros(cap, np.int32)
+                    out_j = np.zeros(cap, np.int32)
+                    out_j[:] = 1  # padding edges must satisfy j-i in [1,g]
+                    oR = np.tile(np.eye(3, dtype=np.float32), (cap, 1, 1))
+                    ot = np.zeros((cap, 3), np.float32)
+                    os_ = np.ones(cap, np.float32)
+                    ow = np.zeros(cap, np.float32)
+                    ov = np.zeros(cap, bool)
+                    out_i[:n] = ei2[mask]
+                    out_j[:n] = ej2[mask]
+                    oR[:n] = mR2[mask]
+                    ot[:n] = mt2[mask]
+                    os_[:n] = ms2[mask]
+                    ow[:n] = ew2[mask]
+                    ov[:n] = True
+                    return (jnp.asarray(out_i), jnp.asarray(out_j),
+                            jnp.asarray(oR), jnp.asarray(ot),
+                            jnp.asarray(os_), jnp.asarray(ow),
+                            jnp.asarray(ov))
+
+                band_grp = padgrp(in_band, 64)
+                long_grp = padgrp(~in_band, 16)
+                R_out, t_out, s_out, cost = \
+                    pose_graph.optimize_sim3_graph_banded(
+                        jnp.asarray(vR_p), jnp.asarray(vt_p),
+                        jnp.asarray(vs_p), jnp.asarray(fx_p),
+                        *band_grp, *long_grp, g=g_sn, n_iters=20)
         R_out = np.asarray(R_out)[:K]
         t_out = np.asarray(t_out)[:K]
         s_out = np.asarray(s_out)[:K]

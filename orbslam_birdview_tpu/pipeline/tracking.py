@@ -290,10 +290,12 @@ class Tracker:
         self._apply_landed_acc(block=self.cfg.tracking.synchronous)
         if (self._kf_pending is not None
                 and self.frame_id - self._kf_pending[2] >= KF_MINT_LAG):
-            self._complete_pending_keyframe(block=True)
+            with self.timer.stage("proc.kf_complete"):
+                self._complete_pending_keyframe(block=True)
         if self.mapper is not None:
             epoch0 = (self.mapper.pose_epoch, self.store.correction_epoch)
-            self.mapper.poll_background()
+            with self.timer.stage("proc.poll_bg"):
+                self.mapper.poll_background()
             if epoch0 != (self.mapper.pose_epoch,
                           self.store.correction_epoch):
                 # a LARGE pose rewrite landed (GBA / loop correction): the
@@ -316,7 +318,8 @@ class Tracker:
             if (self._lm_bundle is None
                     or self._lm_ref_kf != self.ref_kf
                     or self._lm_change_idx != self.store.big_change_idx):
-                self._refresh_local_map()
+                with self.timer.stage("proc.refresh_lm"):
+                    self._refresh_local_map()
             if self._lm_bundle is not None and (
                     bird_img is None or self._bird_bundle is not None):
                 return self._process_fused(img, timestamp,

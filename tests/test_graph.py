@@ -459,7 +459,162 @@ def test_sim3_pose_graph_pcg_matches_dense():
             jnp.asarray(mt.astype(np.float32)), jnp.asarray(ms),
             jnp.asarray(ew), jnp.asarray(ev))
     Rd, td, sd, cd = pose_graph.optimize_sim3_graph(*args, n_iters=15)
-    Rp, tp, sp, cp = pose_graph.optimize_sim3_graph_pcg(*args, n_iters=15)
+    # the r5 PCG safeguards (best-residual CG iterate + backtracking
+    # line search) trade per-iteration step size for robustness at
+    # KITTI scale — same fixed point, a few more LM iterations
+    Rp, tp, sp, cp = pose_graph.optimize_sim3_graph_pcg(*args, n_iters=60)
     assert float(cd) < 1e-4 and float(cp) < 1e-4, (float(cd), float(cp))
     np.testing.assert_allclose(np.asarray(sp), np.asarray(sd), atol=5e-3)
     np.testing.assert_allclose(np.asarray(tp), np.asarray(td), atol=5e-2)
+
+
+def _ring_pose_graph(K, r_orbit=50.0, drift_vec=(0.8, -0.5, 0.3),
+                     revs=1.0, loop_stride=0):
+    """Synthetic Sim3 ring: GT on a circle, estimates with accumulated
+    drift, exact relative measurements (spanning tree + skip-4 covis + a
+    seam loop edge, optionally inter-revolution loop edges)."""
+    import numpy as np
+
+    theta = 2 * np.pi * revs * np.arange(K) / K
+    c, sn = np.cos(theta), np.sin(theta)
+    R_gt = np.zeros((K, 3, 3), np.float32)
+    R_gt[:, 0, 0] = c; R_gt[:, 0, 1] = sn
+    R_gt[:, 1, 0] = -sn; R_gt[:, 1, 1] = c
+    R_gt[:, 2, 2] = 1.0
+    centers = np.stack([r_orbit * c, r_orbit * sn, np.zeros(K)], 1)
+    t_gt = -np.einsum("kij,kj->ki", R_gt, centers).astype(np.float32)
+    drift = (np.linspace(0, 1, K)[:, None]
+             * np.asarray(drift_vec, np.float32))
+    vt = (t_gt + drift).astype(np.float32)
+    ei_l, ej_l = [], []
+    for step in (1, 4):
+        ei_l.append(np.arange(K - step, dtype=np.int32))
+        ej_l.append(np.arange(step, K, dtype=np.int32))
+    ei_l.append(np.array([K - 1], np.int32))
+    ej_l.append(np.array([0], np.int32))
+    if loop_stride:
+        ei_l.append(np.arange(0, K // 2, loop_stride, dtype=np.int32))
+        ej_l.append(np.arange(0, K // 2, loop_stride, dtype=np.int32)
+                    + K // 2)
+    ei = np.concatenate(ei_l)
+    ej = np.concatenate(ej_l)
+    Ri, Rj = R_gt[ei], R_gt[ej]
+    ti, tj = t_gt[ei], t_gt[ej]
+    mR = np.einsum("eab,ecb->eac", Rj, Ri)
+    mt = tj - np.einsum("eab,eb->ea", mR, ti)
+    return R_gt, t_gt, vt, ei, ej, mR, mt
+
+
+def _split_band(ei, ej, mR, mt, g=8):
+    """Host-side band/long split for the banded solver (edges already
+    oriented i<j except the seam edge, which we orient + invert)."""
+    import numpy as np
+
+    swap = ei > ej
+    ei2 = np.where(swap, ej, ei).astype(np.int32)
+    ej2 = np.where(swap, ei, ej).astype(np.int32)
+    Rt = np.swapaxes(mR, 1, 2)
+    mt_inv = -np.einsum("nij,nj->ni", Rt, mt)
+    mR2 = np.where(swap[:, None, None], Rt, mR).astype(np.float32)
+    mt2 = np.where(swap[:, None], mt_inv, mt).astype(np.float32)
+    band = (ej2 - ei2) <= g
+
+    def grp(m):
+        n = int(m.sum())
+        return (jnp.asarray(ei2[m]), jnp.asarray(ej2[m]),
+                jnp.asarray(mR2[m]), jnp.asarray(mt2[m]),
+                jnp.ones(n, jnp.float32), jnp.ones(n, jnp.float32),
+                jnp.ones(n, bool))
+
+    return grp(band), grp(~band)
+
+
+def test_sim3_pose_graph_banded_matches_dense():
+    """The exact banded (block-Thomas + Woodbury) solver must reproduce
+    the dense solver: same residuals, exact Newton steps, different
+    factorization."""
+    from orbslam_birdview_tpu.graph import pose_graph
+
+    K = 64
+    R_gt, t_gt, vt, ei, ej, mR, mt = _ring_pose_graph(K, r_orbit=5.0,
+                                                      drift_vec=(0.15,
+                                                                 -0.1,
+                                                                 0.05))
+    E = len(ei)
+    fixed = jnp.zeros(K, bool).at[0].set(True)
+    dense_args = (jnp.asarray(R_gt), jnp.asarray(vt),
+                  jnp.ones(K, jnp.float32), fixed,
+                  jnp.asarray(ei), jnp.asarray(ej),
+                  jnp.asarray(mR.astype(np.float32)),
+                  jnp.asarray(mt.astype(np.float32)),
+                  jnp.ones(E, jnp.float32), jnp.ones(E, jnp.float32),
+                  jnp.ones(E, bool))
+    Rd, td, sd, cd = pose_graph.optimize_sim3_graph(*dense_args,
+                                                    n_iters=15)
+    band_grp, long_grp = _split_band(ei, ej, mR, mt)
+    Rb, tb, sb, cb = pose_graph.optimize_sim3_graph_banded(
+        jnp.asarray(R_gt), jnp.asarray(vt), jnp.ones(K, jnp.float32),
+        fixed, *band_grp, *long_grp, g=8, n_iters=15)
+    assert float(cd) < 1e-4 and float(cb) < 1e-4, (float(cd), float(cb))
+    np.testing.assert_allclose(np.asarray(tb), np.asarray(td), atol=5e-2)
+    np.testing.assert_allclose(np.asarray(sb), np.asarray(sd), atol=5e-3)
+
+
+@pytest.mark.slow
+def test_sim3_pose_graph_banded_kitti_scale():
+    """K=1024 single-seam drift ring at KITTI translation magnitude
+    (orbit radius 50 m) — condition ~K², where the truncated-PCG path
+    stalls. The exact banded solver must actually close the seam
+    (VERDICT r4 item 7: loop-correction scaling)."""
+    from orbslam_birdview_tpu.graph import pose_graph
+
+    K = 1024
+    R_gt, t_gt, vt, ei, ej, mR, mt = _ring_pose_graph(K)
+    fixed = jnp.zeros(K, bool).at[0].set(True)
+    band_grp, long_grp = _split_band(ei, ej, mR, mt)
+    Rb, tb, sb, cb = pose_graph.optimize_sim3_graph_banded(
+        jnp.asarray(R_gt), jnp.asarray(vt), jnp.ones(K, jnp.float32),
+        fixed, *band_grp, *long_grp, g=8, n_iters=12)
+    gap0 = float(np.linalg.norm(vt[K - 1] - t_gt[K - 1]))
+    gap1 = float(np.linalg.norm(np.asarray(tb)[K - 1] - t_gt[K - 1]))
+    assert gap1 < 0.2 * gap0, f"seam {gap0:.3f} -> {gap1:.3f}"
+    assert float(cb) < 1e-3
+
+
+def test_gauge_normalize_roundtrip():
+    """gauge_normalize must be an exact (up to f32) change of world frame:
+    unnormalize(normalize(S)) == S, and relative Sim3 residuals are
+    invariant under it."""
+    from orbslam_birdview_tpu.graph import pose_graph
+
+    rng = np.random.default_rng(7)
+    K = 16
+    R = []
+    for _ in range(K):
+        A = rng.normal(size=(3, 3))
+        q, _ = np.linalg.qr(A)
+        q *= np.sign(np.linalg.det(q))
+        R.append(q.astype(np.float32))
+    R = jnp.asarray(np.stack(R))
+    t = jnp.asarray(rng.normal(0, 80.0, (K, 3)).astype(np.float32))
+    s = jnp.asarray(rng.uniform(0.8, 1.2, K).astype(np.float32))
+    tn, sn, ung = pose_graph.gauge_normalize(R, t, s)
+    # positions now O(target_rms)
+    p = -jnp.einsum("kji,kj->ki", R, tn) / sn[:, None]
+    assert float(jnp.abs(p).max()) < 20.0
+    R2, t2, s2 = ung(R, tn, sn)
+    np.testing.assert_allclose(np.asarray(t2), np.asarray(t), rtol=1e-4,
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s), rtol=1e-5)
+    # residual invariance: S_j' S_i'^-1 == S_j S_i^-1
+    from orbslam_birdview_tpu.graph import residuals as res_mod
+
+    r_old = res_mod.sim3_relative(R[0], t[0], s[0], R[1], t[1], s[1],
+                                  jnp.eye(3), jnp.zeros(3),
+                                  jnp.asarray(1.0, jnp.float32))
+    r_new = res_mod.sim3_relative(R[0], tn[0], sn[0], R[1], tn[1], sn[1],
+                                  jnp.eye(3), jnp.zeros(3),
+                                  jnp.asarray(1.0, jnp.float32))
+    # rotation+scale components identical; translation scales by 1/sg
+    np.testing.assert_allclose(np.asarray(r_new)[:3],
+                               np.asarray(r_old)[:3], atol=1e-4)

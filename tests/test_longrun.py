@@ -35,11 +35,14 @@ def test_kitti_scale_longrun():
     # the run blows far past the initial store capacity
     cfg.tracking.max_frames_between_kf = 4
     cfg.max_keyframes = 32
-    # deterministic scheduling: the overlapped pipeline's keyframe cadence
-    # otherwise depends on worker-thread timing, and a starved CI core
-    # occasionally produced a degenerate map (observed ATE 0.15 vs 1.9 on
-    # identical inputs)
-    cfg.tracking.synchronous = True
+    # ASYNC pipeline — the exact configuration the bench runs. Until r4
+    # this test pinned synchronous=True (pre-r4 the overlapped pipeline's
+    # keyframe cadence depended on worker-thread timing and a starved CI
+    # core occasionally produced a degenerate map, ATE 0.15 vs 1.9 on
+    # identical inputs). The r4 deterministic frame-indexed landing
+    # schedule makes the async pipeline's ATE a pure function of the
+    # inputs; this run is the KITTI-scale proof of that claim
+    # (VERDICT r4 item 4).
     sys_ = System(cfg)
     gt = {}
     for i in range(N):
