@@ -601,6 +601,35 @@ def child_main():
         time.sleep(10 ** 6)
     import jax
 
+    def tunnel_health():
+        """Measured link state, recorded with every result: the tunnel is
+        bimodal (r4: two back-to-back runs differ up to 5x; today's
+        probes measured D2H from 14 MB/s down to ~0.1 MB/s) — a perf
+        number without the link state it ran under is not interpretable."""
+        import numpy as np
+
+        import jax.numpy as jnp
+
+        triv = jax.jit(lambda: jnp.float32(1.0))
+        float(np.asarray(triv()))
+        rtts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(np.asarray(triv()))
+            rtts.append(time.perf_counter() - t0)
+        big = jax.jit(lambda: jnp.ones((512, 512), jnp.float32))()
+        jax.block_until_ready(big)
+        bws = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(big)
+            bws.append(time.perf_counter() - t0)
+        rtt = float(np.median(rtts))
+        mb = 512 * 512 * 4 / 1e6
+        bw = mb / max(float(np.median(bws)) - rtt, 1e-4)
+        return {"tunnel_rtt_ms": round(rtt * 1e3, 1),
+                "tunnel_d2h_mbps": round(bw, 1)}
+
     # repo-local persistent compile cache (gitignored): a cold run
     # pays the compiles once, every later run on this box reuses them
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -613,6 +642,10 @@ def child_main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+    try:
+        health = tunnel_health()
+    except Exception:  # pragma: no cover
+        health = {}
     pipe = pipeline_fps(reserve_s=420.0)
     line = {
         "metric": HEADLINE_METRIC,
@@ -626,6 +659,7 @@ def child_main():
         "dispatch_p90_ms": round(pipe["dispatch_p90_ms"], 2),
         "dispatch_mean_ms": round(pipe["dispatch_mean_ms"], 2),
         "init_attempts": attempts,
+        **health,
         "n_frames": pipe["n_frames"],
         "tracked_frames": pipe["tracked_frames"],
         "keyframes": pipe["keyframes"],

@@ -296,3 +296,29 @@ def fuse_project_batch2(
     return ((sel // P).astype(jnp.int32), (sel % P).astype(jnp.int32),
             idx.reshape(-1)[sel], flat_ok[sel],
             jnp.sum(flat_ok.astype(jnp.int32)))
+
+
+@jax.jit
+def fuse_project_batch2_fr(
+    R2s, t2s, nb_ok, fwd_pos, fwd_valid, fwd_desc_u8,
+    rev_pos, rev_valid, rev_desc_u8,
+    kp2s_xy, kp2s_octave, kp2s_valid, desc2s_u8,
+    fx, fy, cx, cy, width, height, radius,
+):
+    """fuse_project_batch2 with the per-row landmark set built ON DEVICE:
+    the first N-1 (forward) rows share one landmark set and the final row
+    is the reverse pass — materializing the broadcast (N,P,3)/(N,P,32)
+    arrays on the host cost ~3.9 MB of H2D per keyframe on the tunnel
+    link; here only 2x(P,·) ships and the broadcast is free on device."""
+    N = R2s.shape[0]
+
+    def bc(fwd, rev):
+        return jnp.concatenate(
+            [jnp.broadcast_to(fwd[None], (N - 1,) + fwd.shape),
+             rev[None]], 0)
+
+    return fuse_project_batch2(
+        R2s, t2s, nb_ok, bc(fwd_pos, rev_pos), bc(fwd_valid, rev_valid),
+        bc(fwd_desc_u8, rev_desc_u8),
+        kp2s_xy, kp2s_octave, kp2s_valid, desc2s_u8,
+        fx, fy, cx, cy, width, height, radius)

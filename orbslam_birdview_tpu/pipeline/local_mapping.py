@@ -71,6 +71,13 @@ class LocalMapper:
         self.compact_overflows = 0
         self._stage_tick = 0      # tick when the current stage dispatched
         self._ba_tick = 0         # tick when the pending BA dispatched
+        # device-resident per-keyframe keypoint arrays (xy, octave, valid,
+        # desc_u8), registered at mint time from the fused frame's own
+        # device outputs: triangulate/fuse dispatches re-uploaded
+        # ~90 KB x 11 neighbors x 2 dispatches of immutable keypoint data
+        # from the host EVERY keyframe — on the tunnel link that H2D was
+        # a measurable slice of the per-keyframe stall
+        self._kf_dev: dict[int, tuple] = {}
         # bumped on LARGE pose rewrites (GBA writeback; loop corrections
         # bump store.correction_epoch): the tracker's device pose chain is
         # valid while both are unchanged. Incremental local-BA nudges do
@@ -78,6 +85,29 @@ class LocalMapper:
         # updated map, and a chain resync costs a velocity^lag
         # extrapolation that fails under rotation.
         self.pose_epoch = 0
+
+    def register_kf_device(self, kf: int, xy, octave, valid, desc_u8):
+        """Cache a minted keyframe's immutable keypoint arrays on DEVICE
+        (they are the fused tracking step's own outputs — no transfer).
+        Stale entries for culled keyframes are pruned opportunistically."""
+        self._kf_dev[kf] = (xy, octave, valid, desc_u8)
+        if len(self._kf_dev) > 16:
+            store = self.store
+            dead = [k for k in self._kf_dev
+                    if k < store.n_kf and not store.kf_valid[k]]
+            for k in dead:
+                del self._kf_dev[k]
+
+    def _kf_dev_stack(self, nbs):
+        """Stacked device keypoint arrays for a neighbor batch, or None if
+        any neighbor was minted through a host path (fallback: upload)."""
+        entries = []
+        for k in nbs:
+            e = self._kf_dev.get(int(k))
+            if e is None:
+                return None
+            entries.append(e)
+        return tuple(jnp.stack([e[i] for e in entries]) for i in range(4))
 
     def poll_background(self) -> bool:
         """Advance any overlapped work that has finished (keyframe mapping
@@ -368,16 +398,28 @@ class LocalMapper:
         nb_ok = np.zeros(n_pad, bool)
         nb_ok[: len(good)] = True
         free2 = (store.kf_kp_valid[nbs] & (store.kf_kp_mp[nbs] < 0))
+        dev1 = self._kf_dev.get(int(kf))
+        dev2 = self._kf_dev_stack(nbs)
+        if dev1 is not None:
+            xy1, oct1, _, desc1 = dev1
+        else:
+            xy1 = jnp.asarray(store.kf_kp_xy[kf])
+            oct1 = jnp.asarray(store.kf_kp_octave[kf])
+            desc1 = jnp.asarray(store.kf_desc[kf])
+        if dev2 is not None:
+            xy2, oct2, _, desc2 = dev2
+        else:
+            xy2 = jnp.asarray(store.kf_kp_xy[nbs])
+            oct2 = jnp.asarray(store.kf_kp_octave[nbs])
+            desc2 = jnp.asarray(store.kf_desc[nbs])
         out = device_ops.epipolar_triangulate_batch(
             jnp.asarray(store.kf_R[kf]), jnp.asarray(store.kf_t[kf]),
             jnp.asarray(store.kf_R[nbs]), jnp.asarray(store.kf_t[nbs]),
             jnp.asarray(nb_ok), K,
-            jnp.asarray(store.kf_kp_xy[kf]),
-            jnp.asarray(store.kf_kp_octave[kf]),
-            jnp.asarray(free1), jnp.asarray(store.kf_desc[kf]),
-            jnp.asarray(store.kf_kp_xy[nbs]),
-            jnp.asarray(store.kf_kp_octave[nbs]),
-            jnp.asarray(free2), jnp.asarray(store.kf_desc[nbs]),
+            xy1, oct1,
+            jnp.asarray(free1), desc1,
+            xy2, oct2,
+            jnp.asarray(free2), desc2,
             jnp.asarray(self.level_sigma2),
         )
         from ..utils.async_fetch import BackgroundFetch
@@ -487,24 +529,26 @@ class LocalMapper:
         nb_ok = np.zeros(n_pad, bool)
         nb_ok[: len(neighbors)] = True
         nb_ok[-1] = len(ids_r) > 0
-        pos = np.broadcast_to(
-            np.where(pval_f[:, None], store.mp_pos[ids_fp], 1e9),
-            (n_pad, P, 3)).copy()
-        pos[-1] = np.where(pval_r[:, None], store.mp_pos[ids_rp], 1e9)
-        desc = np.broadcast_to(store.mp_desc[ids_fp],
-                               (n_pad, P, 32)).copy()
-        desc[-1] = store.mp_desc[ids_rp]
-        pvalid = np.broadcast_to(pval_f, (n_pad, P)).copy()
-        pvalid[-1] = pval_r
-        out = device_ops.fuse_project_batch2(
+        fwd_pos = np.where(pval_f[:, None], store.mp_pos[ids_fp],
+                           1e9).astype(np.float32)
+        rev_pos = np.where(pval_r[:, None], store.mp_pos[ids_rp],
+                           1e9).astype(np.float32)
+        devn = self._kf_dev_stack(nbs)
+        if devn is not None:
+            kxy, koct, kval, kdesc = devn
+        else:
+            kxy = jnp.asarray(store.kf_kp_xy[nbs])
+            koct = jnp.asarray(store.kf_kp_octave[nbs])
+            kval = jnp.asarray(store.kf_kp_valid[nbs])
+            kdesc = jnp.asarray(store.kf_desc[nbs])
+        out = device_ops.fuse_project_batch2_fr(
             jnp.asarray(store.kf_R[nbs]), jnp.asarray(store.kf_t[nbs]),
             jnp.asarray(nb_ok),
-            jnp.asarray(pos.astype(np.float32)), jnp.asarray(pvalid),
-            jnp.asarray(desc),
-            jnp.asarray(store.kf_kp_xy[nbs]),
-            jnp.asarray(store.kf_kp_octave[nbs]),
-            jnp.asarray(store.kf_kp_valid[nbs]),
-            jnp.asarray(store.kf_desc[nbs]),
+            jnp.asarray(fwd_pos), jnp.asarray(pval_f),
+            jnp.asarray(store.mp_desc[ids_fp]),
+            jnp.asarray(rev_pos), jnp.asarray(pval_r),
+            jnp.asarray(store.mp_desc[ids_rp]),
+            kxy, koct, kval, kdesc,
             cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
             jnp.full(P, 3.0, jnp.float32))
         from ..utils.async_fetch import BackgroundFetch
@@ -660,18 +704,19 @@ class LocalMapper:
             t_cb = -R_cb @ np.asarray(t_bc)
             sig = self.cfg.tracking.bird_sigma_m
             w = self.cfg.tracking.bird_info_scale_ba / sig ** 2
-            for k in all_kfs:
-                slot = kf_slot[int(k)]
-                kb = store.kf_bird_mp[k]
-                bi = np.nonzero((kb >= 0) & (bmp_slot[kb.clip(0)] >= 0)
-                                & store.kf_bird_valid[k])[0]
-                if len(bi) == 0:
-                    continue
-                obs_pc = store.kf_bird_base[k][bi] @ R_cb.T + t_cb
-                b_cam += [np.full(len(bi), slot)]
-                b_pt += [bmp_slot[kb[bi]]]
-                b_obs += [obs_pc]
-                b_info += [np.full(len(bi), w)]
+            # one vectorized sweep over the whole window (the per-KF
+            # python loop cost ~1 ms × C on every BA dispatch)
+            kb_win = store.kf_bird_mp[all_kfs]                   # (W, Cb)
+            bhit = ((kb_win >= 0) & (bmp_slot[kb_win.clip(0)] >= 0)
+                    & store.kf_bird_valid[all_kfs])
+            bwi, bki = np.nonzero(bhit)
+            if len(bwi):
+                obs_pc = (store.kf_bird_base[all_kfs[bwi], bki] @ R_cb.T
+                          + t_cb)
+                b_cam = [cam_slot[bwi]]
+                b_pt = [bmp_slot[kb_win[bwi, bki]]]
+                b_obs = [obs_pc]
+                b_info = [np.full(len(bwi), w)]
 
         def mk_edges(cams, pts, obss, infos, obs_dim, cap, pad_target):
             if cams:
@@ -752,7 +797,8 @@ class LocalMapper:
         return (all_kfs, jnp.asarray(camR_np), jnp.asarray(camt_np),
                 jnp.asarray(fixed), jnp.asarray(cam_valid),
                 jnp.asarray(points), jnp.asarray(pvalid),
-                mono_es, stereo_es, bird_es, mp_ids, bmp_ids, n_mp, n_bmp)
+                mono_es, stereo_es, bird_es, mp_ids, bmp_ids, n_mp, n_bmp,
+                n_mono)
 
     def local_ba(self, kf: int, iters=(5, 10), async_dispatch: bool = False):
         """Dispatch the local BA. With `async_dispatch` the device program is
@@ -782,7 +828,8 @@ class LocalMapper:
         # create — each new shape is a ~0.3-8 s remote compile mid-run
         pad_to = cfg.local_ba_window + cfg.local_ba_fixed
         (all_kfs, cam_R, cam_t, fixed, cam_valid, points, pvalid,
-         mono_es, stereo_es, bird_es, mp_ids, bmp_ids, n_mp, n_bmp) = \
+         mono_es, stereo_es, bird_es, mp_ids, bmp_ids, n_mp, n_bmp,
+         n_mono) = \
             self._gather_ba_problem(window, frontier, pad_to=pad_to)
         res = ba.bundle_adjust(
             cam_R, cam_t, fixed, cam_valid, points, pvalid,
@@ -792,7 +839,7 @@ class LocalMapper:
         )
         pend = dict(res=res, window=window, all_kfs=all_kfs,
                     mono_es=mono_es, mp_ids=mp_ids, bmp_ids=bmp_ids,
-                    n_mp=n_mp, n_bmp=n_bmp,
+                    n_mp=n_mp, n_bmp=n_bmp, n_mono=n_mono,
                     epoch=store.correction_epoch)
         self._ba_tick = self._frame_tick
         if async_dispatch and cfg.async_local_ba:
@@ -823,8 +870,21 @@ class LocalMapper:
             if block or is_ready is None or is_ready():
                 from ..utils.async_fetch import BackgroundFetch
 
+                # slice to the REAL problem size before the transfer: the
+                # device arrays are pow2-bucket padded (e.g. points 8192
+                # rows for a ~2k-landmark window, edges 16384 for ~4k) —
+                # on the latency/bandwidth-bound tunnel the padding rows
+                # were most of the bytes. The mono edge (cam, pt) columns
+                # ride the SAME batched fetch: reading them later via
+                # np.asarray was a second hidden ~130 KB round trip.
+                n_real = len(pend["all_kfs"])
+                n_pts = pend["n_mp"] + pend["n_bmp"]
+                n_mono = pend["n_mono"]
+                mono_es = pend["mono_es"]
                 fetch = pend["fetch"] = BackgroundFetch(
-                    (res.cam_R, res.cam_t, res.points, res.inl_mono))
+                    (res.cam_R[:n_real], res.cam_t[:n_real],
+                     res.points[:n_pts], res.inl_mono[:n_mono],
+                     mono_es.cam[:n_mono], mono_es.pt[:n_mono]))
         if not block or start_fetch_only:
             return False
         arrays = fetch.get()
@@ -838,8 +898,7 @@ class LocalMapper:
         window, all_kfs = pend["window"], pend["all_kfs"]
         mp_ids, bmp_ids = pend["mp_ids"], pend["bmp_ids"]
         n_mp, n_bmp = pend["n_mp"], pend["n_bmp"]
-        mono_es = pend["mono_es"]
-        camR_np, camt_np, pts_out, inl = arrays
+        camR_np, camt_np, pts_out, inl, ecam, ept = arrays
         nw = len(window)
         live = store.kf_valid[window]   # culled while BA was in flight
         store.kf_R[window[live]] = camR_np[:nw][live]
@@ -852,11 +911,9 @@ class LocalMapper:
                 pts_out[n_mp : n_mp + n_bmp][b_live]
         # erase outlier observations (mono edges only — like the reference),
         # grouped per keyframe: one membership scan per KF in the window
-        # instead of one per bad edge
-        ecam = np.asarray(mono_es.cam)
-        ept = np.asarray(mono_es.pt)
-        evalid = np.asarray(mono_es.valid)
-        bad = np.nonzero(evalid & ~inl & (ept < n_mp))[0]
+        # instead of one per bad edge. The first n_mono edges are exactly
+        # the valid ones (mk_edges pads with valid=False past n).
+        bad = np.nonzero(~inl & (ept < n_mp))[0]
         if len(bad):
             bad_k = all_kfs[ecam[bad]]
             bad_mp = mp_ids[ept[bad]]
@@ -879,7 +936,8 @@ class LocalMapper:
         cam = self.cfg.camera
         window = np.array([kf1, kf2], np.int64)
         (all_kfs, cam_R, cam_t, fixed, cam_valid, points, pvalid,
-         mono_es, stereo_es, bird_es, mp_ids, bmp_ids, n_mp, n_bmp) = \
+         mono_es, stereo_es, bird_es, mp_ids, bmp_ids, n_mp, n_bmp,
+         n_mono) = \
             self._gather_ba_problem(window, np.zeros(0, np.int64))
         fixed = jnp.asarray(np.array([True, False]))
         res = ba.bundle_adjust(
@@ -925,7 +983,8 @@ class LocalMapper:
         n_bird_e = int((store.kf_bird_mp[: store.n_kf] >= 0).sum())
         window = valid
         (all_kfs, cam_R, cam_t, fixed, cam_valid, points, pvalid,
-         mono_es, stereo_es, bird_es, mp_ids, bmp_ids, n_mp, n_bmp) = \
+         mono_es, stereo_es, bird_es, mp_ids, bmp_ids, n_mp, n_bmp,
+         n_mono) = \
             self._gather_ba_problem(window, np.zeros(0, np.int64), pad_to=C,
                                     point_cap=point_cap,
                                     edge_cap=bucket(n_front),

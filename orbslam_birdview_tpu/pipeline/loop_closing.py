@@ -70,6 +70,12 @@ class LoopCloser:
         self.last_loop_kf = -(10 ** 9)
         self.rng_key = jax.random.PRNGKey(42)
         self.n_loops_closed = 0
+        # observability: every raw candidate set the database returned,
+        # with the loop count at detection time — post-hoc candidate
+        # audits on the FINAL map are blind (after a closure the true
+        # revisits are covisible and correctly excluded), so quality
+        # metrics must come from detections as they happened
+        self.detection_log: list[tuple[int, tuple, int]] = []
         self._voc_thread = None
         self._voc_result = None
         self._voc_started_kf = 0
@@ -198,6 +204,9 @@ class LoopCloser:
     def _detect_loop(self, kf: int):
         min_score = self.kfdb.min_covisible_score(kf)
         cands = self.kfdb.detect_loop_candidates(kf, min_score)
+        if len(cands):
+            self.detection_log.append(
+                (kf, tuple(int(c) for c in cands), self.n_loops_closed))
         if len(cands) == 0:
             self.consistent_groups = []
             return []

@@ -287,7 +287,8 @@ class Tracker:
         # load. The overlap itself is untouched — transfers still ride
         # worker threads from dispatch time; only the fold-in points are
         # pinned.
-        self._apply_landed_acc(block=self.cfg.tracking.synchronous)
+        with self.timer.stage("proc.landed_acc"):
+            self._apply_landed_acc(block=self.cfg.tracking.synchronous)
         if (self._kf_pending is not None
                 and self.frame_id - self._kf_pending[2] >= KF_MINT_LAG):
             with self.timer.stage("proc.kf_complete"):
@@ -644,8 +645,9 @@ class Tracker:
                    if cfgt.fused_lag1 and not cfgt.synchronous else 0)
         if len(self._pending_q) > max_lag:
             t_blk = time.perf_counter()
-            while len(self._pending_q) > max_lag:
-                disruption |= self._finalize_pending()
+            with self.timer.stage("fused.retire"):
+                while len(self._pending_q) > max_lag:
+                    disruption |= self._finalize_pending()
             self.forced_block_s += time.perf_counter() - t_blk
         if disruption:
             # frames still in flight were dispatched against
@@ -806,6 +808,12 @@ class Tracker:
                     .astype(np.int8) * 2 - 1)
 
         landed = list(landed)
+        if not isinstance(fd.kp.xy, np.ndarray):
+            # keep the DEVICE keypoint arrays: the mapper's triangulate /
+            # fuse dispatches reuse them in place of re-uploading ~90 KB
+            # per neighbor from the host (register_kf_device)
+            fd._kp_dev_arrays = (fd.kp.xy, fd.kp.octave, fd.kp.valid,
+                                 fd.kp.desc_u8)
         if fd.kp_depth is not None and not isinstance(fd.kp_depth,
                                                       np.ndarray):
             fd.kp_ur = landed.pop()
@@ -1612,6 +1620,9 @@ class Tracker:
         kf = store.alloc_keyframe(fd.R, fd.t, fd.frame_id, fd.timestamp, fd.kp,
                                   bird=bird, kp_depth=fd.kp_depth,
                                   kp_ur=fd.kp_ur)
+        if self.mapper is not None and \
+                getattr(fd, "_kp_dev_arrays", None) is not None:
+            self.mapper.register_kf_device(kf, *fd._kp_dev_arrays)
         ki = np.nonzero(fd.kp_mp >= 0)[0]
         store.add_observations(kf, ki, fd.kp_mp[ki])
         if fd.bird_kp is not None:

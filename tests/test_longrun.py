@@ -66,7 +66,12 @@ def test_kitti_scale_longrun():
     # steady state retains roughly one revolution's coverage (~1 KF per
     # 4-6° of arc), not all four revolutions' mints.
     n_valid_kf = int(store.kf_valid[: store.n_kf].sum())
-    assert n_valid_kf > 60, f"only {n_valid_kf} keyframes survived"
+    # floor ~one revolution's coverage. r5 note: the production 100k-word
+    # vocabulary detects loops earlier than the r4 bootstrap, shifting
+    # correction timing and with it the cull decisions by a few KFs
+    # (measured 60 surviving vs 61-85 across r4 configs) — the bound is
+    # about CULLING staying sane, not an exact count
+    assert n_valid_kf >= 55, f"only {n_valid_kf} keyframes survived"
     assert n_valid_kf < 300, f"culling unbounded: {n_valid_kf} keyframes"
     # loop revisits detected and closed at least once over 4 revolutions
     assert sys_.loop_closer.n_loops_closed >= 1, "no loop closed"
@@ -81,3 +86,69 @@ def test_kitti_scale_longrun():
     # orbit radius ~3.6 m (diameter ~7.2 m); loop-corrected mono ATE must
     # stay a small fraction of the trajectory scale
     assert ate < 0.35, f"long-run ATE {ate:.3f} m"
+
+    # --- production-vocabulary place-recognition quality (VERDICT r4
+    # item 6). NOTE on what is (not) asserted: the RAW candidate list
+    # from DetectLoopCandidates is inherently noisy pre-revisit (its
+    # floors are relative — the least-dissimilar far keyframe always
+    # passes when no true revisit exists yet; the reference behaves the
+    # same, which is exactly why it layers the 3-consistency and Sim3
+    # gates, both covered by tests/test_loop_negative.py). Post-closure
+    # audits are equally blind: true revisits become covisible and are
+    # correctly EXCLUDED. The meaningful vocabulary metric is top-1
+    # retrieval: for each late keyframe, the best-scoring
+    # temporally-distant keyframe (|frame gap| >= 150, i.e. a different
+    # revolution) should be a true spatial neighbor (<2.5 m; random
+    # pairs on the ~3.6 m-radius orbit average ~4.5 m). Symmetric
+    # between vocabularies and independent of covisibility.
+    lc = sys_.loop_closer
+    assert lc.voc is not None and lc.voc.n_words >= 100_000, \
+        "pipeline default must be the production vocabulary"
+    assert len(lc.detection_log) >= 3, "no loop detections were logged"
+
+    def gt_center(k):
+        Rg, tg = gt[int(store.kf_frame_id[k])]
+        return -Rg.T @ tg
+    from orbslam_birdview_tpu.mapping import vocab as vocab_mod
+    from orbslam_birdview_tpu.mapping.kfdb import KeyFrameDatabase
+
+    descs = [store.kf_desc[k][store.kf_kp_valid[k]]
+             for k in store.valid_kf_ids()]
+    pm1 = (np.unpackbits(np.concatenate(descs), axis=-1,
+                         bitorder="little").astype(np.int8) * 2 - 1)
+    small_voc = vocab_mod.train_vocabulary(pm1, branching=10, depth=4,
+                                           seed=0, max_train=16000,
+                                           iters=3)
+    kfdb_small = KeyFrameDatabase(small_voc, store)
+    for k in store.valid_kf_ids():
+        kfdb_small.add_keyframe(int(k), lc._kp_of(int(k)))
+
+    def top1_accuracy(kfdb):
+        valid = store.valid_kf_ids()
+        fid = {int(k): int(store.kf_frame_id[k]) for k in valid}
+        n_ok = n_tot = 0
+        for q in valid[-30:]:
+            far = [int(c) for c in valid
+                   if abs(fid[int(c)] - fid[int(q)]) >= 150]
+            if not far:
+                continue
+            dists = [np.linalg.norm(gt_center(c) - gt_center(q))
+                     for c in far]
+            if min(dists) > 1.0:
+                # culling removed every true revisit of this place (the
+                # steady state keeps ~one revolution's coverage) — no
+                # correct answer exists, skip the query
+                continue
+            scores = [kfdb.pair_score(int(q), c) for c in far]
+            best = int(np.argmax(scores))
+            n_tot += 1
+            n_ok += dists[best] < 2.5
+        return (n_ok / n_tot if n_tot else 0.0), n_tot
+
+    acc_big, nq = top1_accuracy(lc.kfdb)
+    acc_small, nq_s = top1_accuracy(kfdb_small)
+    assert nq >= 5, f"only {nq} retrieval queries had a surviving revisit"
+    assert acc_big >= 0.6, f"top-1 retrieval {acc_big:.2f} over {nq}"
+    assert acc_big >= acc_small - 0.05, \
+        (f"100k-word vocab retrieval ({acc_big:.2f}) worse than small "
+         f"bootstrap ({acc_small:.2f}, n={nq_s})")
