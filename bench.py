@@ -472,6 +472,20 @@ def roofline():
     import jax.numpy as jnp
     from jax import lax
 
+    # every blocking call pays the tunnel round trip (~25-30 ms measured);
+    # subtract it and size each kernel's repeat count so the device work
+    # dominates — without this the "peak" was mostly RTT (measured 34.5
+    # "TFLOP/s" for an 8-rep matmul chain whose program time was 6 ms
+    # against a 29 ms round trip)
+    triv = jax.jit(lambda: jnp.float32(1.0))
+    float(np.asarray(triv()))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(triv()))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+
     def timed(fn, n_calls=3):
         fn()  # compile
         ts = []
@@ -479,10 +493,10 @@ def roofline():
             t0 = time.perf_counter()
             fn()
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+        return max(float(np.median(ts)) - rtt, 1e-5)
 
-    out = {}
-    N, REP = 4096, 8
+    out = {"roofline_rtt_ms": round(rtt * 1e3, 1)}
+    N, REP = 4096, 64
     a16 = jnp.ones((N, N), jnp.bfloat16)
     b16 = jnp.ones((N, N), jnp.bfloat16)
 
@@ -503,9 +517,13 @@ def roofline():
     @jax.jit
     def peak_int8():
         def body(c, i):
-            o = jnp.dot(a8 + c.astype(jnp.int8), b8,
+            o = jnp.dot(a8 + (c % 2).astype(jnp.int8), b8,
                         preferred_element_type=jnp.int32)
-            return (o[0, 0] % 3).astype(jnp.int32), None
+            # NONLINEAR full reduction: consuming one element lets XLA
+            # dead-code the matmul down to a single inner product
+            # (measured 880,000 "TOPS"), and a plain sum is algebraically
+            # rewritable to O(N^2)
+            return jnp.sum(jnp.minimum(o, 7)).astype(jnp.int32), None
         o, _ = lax.scan(body, jnp.int32(0), None, length=REP)
         return o
 
@@ -518,12 +536,15 @@ def roofline():
     rng = np.random.default_rng(0)
     dp = jnp.asarray((rng.integers(0, 2, (P, 256)) * 2 - 1).astype(np.int8))
     dk = jnp.asarray((rng.integers(0, 2, (K, 256)) * 2 - 1).astype(np.int8))
-    HREP = 64
+    HREP = 4096
 
     @jax.jit
     def hamming_rep():
         def body(c, _):
-            dot = jnp.dot(dp, dk.T, preferred_element_type=jnp.int32)
+            # carry-dependent input so XLA cannot hoist the matmul out
+            # of the scan as loop-invariant
+            dpx = dp.at[0, 0].add((c % 2).astype(jnp.int8))
+            dot = jnp.dot(dpx, dk.T, preferred_element_type=jnp.int32)
             ham = (256 - dot) // 2
             return c + ham[0, 0], None
         o, _ = lax.scan(body, jnp.int32(0), None, length=HREP)
