@@ -646,10 +646,12 @@ def child_main():
             np.asarray(big)
             bws.append(time.perf_counter() - t0)
         rtt = float(np.median(rtts))
-        mb = 512 * 512 * 4 / 1e6
-        bw = mb / max(float(np.median(bws)) - rtt, 1e-4)
+        # report the raw 1 MB fetch wall (unambiguous): deriving MB/s by
+        # subtracting the RTT explodes when the transfer rides inside the
+        # round trip (a fast link measured a nonsense 10 GB/s)
         return {"tunnel_rtt_ms": round(rtt * 1e3, 1),
-                "tunnel_d2h_mbps": round(bw, 1)}
+                "tunnel_d2h_1mb_ms": round(float(np.median(bws)) * 1e3,
+                                           1)}
 
     # repo-local persistent compile cache (gitignored): a cold run
     # pays the compiles once, every later run on this box reuses them
