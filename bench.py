@@ -638,10 +638,15 @@ def child_main():
             t0 = time.perf_counter()
             float(np.asarray(triv()))
             rtts.append(time.perf_counter() - t0)
-        big = jax.jit(lambda: jnp.ones((512, 512), jnp.float32))()
-        jax.block_until_ready(big)
+        mk = jax.jit(lambda i: jnp.full((512, 512), i, jnp.float32))
+        jax.block_until_ready(mk(0))
         bws = []
-        for _ in range(3):
+        for i in range(3):
+            # a FRESH device array per fetch: jax.Array caches its host
+            # copy after the first conversion, so re-fetching the same
+            # array measures nothing (observed 0.1 ms for 1 MB)
+            big = mk(i + 1)
+            jax.block_until_ready(big)
             t0 = time.perf_counter()
             np.asarray(big)
             bws.append(time.perf_counter() - t0)
